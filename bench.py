@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract).
+
+Headline: end-to-end record-linkage docs/sec over the synthetic pages
+corpus at the scale factor matching ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1 -> 50k pages), plus per-operator timings over the
+driver tables.  Prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same (pre-warmed) input and
+reports both throughputs + scaling efficiency — the sandbox evidence for
+the north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from kawa_ray.pipelines.linkage import link_pages
+    from kawa_ray.sources.pages import SF_TO_PAGES, ensure_pages, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    pages_dir = ensure_pages(sf)  # untimed: generation is corpus prep, cached
+    n_pages = SF_TO_PAGES.get(sf, 500)
+
+    # warm the OS page cache with one untimed read
+    import ray.data as rd
+
+    rd.read_parquet(os.path.join(pages_dir, "pages"), columns=["url"]).count()
+
+    t0 = time.time()
+    res = link_pages(pages_dir)
+    n_clusters_rows = res["clusters"].count()
+    headline = time.time() - t0
+
+    queries: dict[str, float] = {"linkage_e2e": round(headline, 3)}
+
+    from kawa_ray.pipelines import docs, relational, vectors
+
+    for name, fn in (
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q3_top_orders", relational.q3_top_orders),
+        ("events_dedup_first", relational.events_dedup_first),
+        ("token_count_stats", docs.token_count_stats),
+        ("exact_dedup_docs", docs.exact_dedup_docs),
+        ("minhash_dedup_docs", docs.minhash_dedup_docs),
+        ("simhash_dedup_docs", docs.simhash_dedup_docs),
+        ("ann_topk", vectors.ann_topk),
+    ):
+        t = time.time()
+        fn(sf_dir)
+        queries[name] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "linkage_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+        "n_cluster_rows": n_clusters_rows,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes (BASELINE.md)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    # warm caches (corpus generation + OS page cache) before timing either
+    lo, hi = 8, 32
+    warm = one(lo)
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "warmup_sec": warm["value"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,112 @@
+"""MinHash / LSH, SimHash and n-gram Jaccard sketch kernels.
+
+Vectorised with numpy; deterministic (fixed permutation seeds — the
+"MinHash permutation seeds are constants" rule of SURVEY.md §7.4 S3).
+Used for (a) mention blocking in the flagship linkage pipeline and
+(b) the near-duplicate document suite (MinHash-LSH / SimHash /
+n-gram-Jaccard dedup pipelines).
+
+Published technique; see Broder (1997) for MinHash and Charikar (2002)
+for SimHash.  No reference-code lineage (the reference blocks only via
+lexicon prefix shingles, /root/reference/ontology/ontology_manager.py:258-294).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_SEED = 42
+
+
+def _perm_params(num_perm: int, seed: int = _SEED) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def perm_params(num_perm: int, seed: int = _SEED) -> tuple[np.ndarray, np.ndarray]:
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    return _PERM_CACHE[key]
+
+
+def hash64(s: str) -> int:
+    return struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
+
+
+def char_shingles(s: str, k: int = 3) -> list[str]:
+    if len(s) <= k:
+        return [s] if s else []
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
+
+
+def word_ngrams(tokens: list[str], n: int = 3) -> list[str]:
+    if len(tokens) <= n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def minhash_signature(shingles: list[str], num_perm: int = 32, seed: int = _SEED) -> np.ndarray:
+    """uint64 signature of length num_perm (max-filled when empty)."""
+    if not shingles:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = perm_params(num_perm, seed)
+    hv = np.fromiter((hash64(s) for s in set(shingles)), dtype=np.uint64)
+    # (a * h + b) mod p, vectorised over perms x shingles
+    prod = (a[:, None] * (hv[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+    return prod.min(axis=1).astype(np.uint64)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
+    """Split a signature into ``bands`` bands; key = band idx + band hash."""
+    rows = len(sig) // bands
+    out = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        out.append(f"{b}:{h}")
+    return out
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (Charikar 2002)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = hash64(t)
+        bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_band_keys(h: int, bands: int = 4) -> list[str]:
+    """Split 64 bits into ``bands`` chunks; near-dups (small Hamming
+    distance) share at least one chunk by pigeonhole."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [f"{b}:{(h >> (b * width)) & mask:x}" for b in range(bands)]

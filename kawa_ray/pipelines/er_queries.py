@@ -1,0 +1,100 @@
+"""Flagship entity-resolution pipeline exposed as driver queries.
+
+These run over the deterministic synthetic pages corpus (the
+BASELINE.json ``input_hint`` table — generated at the scale factor
+matching ``sf_dir``, cached under /tmp) and are rows-only checks: the
+blocking/scoring/clustering semantics are not SQL-expressible, so the
+correctness instrument is the pairwise-F1 row of ``er_eval`` plus the
+pytest suite (byte-identity, golden clusters).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from kawa_ray.config import LinkageConfig
+from kawa_ray.eval.pairwise import gold_labeled_pairs, pairwise_f1
+from kawa_ray.sources.pages import ensure_pages, sf_of_dir
+
+_LINK_CACHE: dict[str, dict] = {}
+
+
+def _linked(sf_dir: str) -> tuple[str, dict]:
+    """Run (once per process per sf) the full linkage pipeline."""
+    from kawa_ray.pipelines.linkage import link_pages
+
+    sf = sf_of_dir(sf_dir)
+    if sf not in _LINK_CACHE:
+        pages_dir = ensure_pages(sf)
+        _LINK_CACHE[sf] = (pages_dir, link_pages(pages_dir))
+    return _LINK_CACHE[sf]
+
+
+def er_extract_check(sf_dir: str):
+    """S1 byte-identity census: per lang, pages whose extracted text equals
+    the golden ``text`` column (must equal n_pages)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kawa_ray.functions.html import extract_text
+
+    pages_dir = ensure_pages(sf_of_dir(sf_dir))
+    ds = rd.read_parquet(os.path.join(pages_dir, "pages"))
+
+    def check(t: pa.Table) -> pa.Table:
+        ok = [int(extract_text(h) == x) for h, x in
+              zip(t.column("html").to_pylist(), t.column("text").to_pylist())]
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(), "ok": ok})
+        g = df.groupby("lang", sort=False).agg(n_pages=("ok", "size"), n_identical=("ok", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(check, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_pages", alias_name="n_pages"), Sum("n_identical", alias_name="n_identical"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def er_mention_stats(sf_dir: str):
+    """Mentions per NER label (detection + regex extractors)."""
+    _, res = _linked(sf_dir)
+    df = res["mentions"].select_columns(["label"]).to_pandas()
+    out = df.groupby("label").size().reset_index(name="n_mentions")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def er_clusters(sf_dir: str):
+    """Cluster census: distinct surfaces + mention mass per entity cluster
+    (top 50 by mass for stability)."""
+    _, res = _linked(sf_dir)
+    df = res["clusters"].select_columns(["norm", "entity_cluster"]).to_pandas()
+    g = df.groupby("entity_cluster").agg(
+        n_mentions=("norm", "size"), n_surfaces=("norm", "nunique")
+    ).reset_index()
+    g = g.sort_values(["n_mentions", "entity_cluster"], ascending=[False, True]).head(50)
+    return g.reset_index(drop=True)
+
+
+def er_eval(sf_dir: str):
+    """THE north-rule gate: pairwise precision/recall/F1 on labeled pairs
+    at the shared blocking keys (target F1 >= 0.99)."""
+    pages_dir, res = _linked(sf_dir)
+    gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"))
+    cfg = LinkageConfig()
+    m = pairwise_f1(gold_labeled_pairs(gold, cfg), res["norm2cluster"])
+    return pd.DataFrame(
+        {
+            "n_labeled_pairs": [m["n_pairs"]],
+            "tp": [m["tp"]], "fp": [m["fp"]], "fn": [m["fn"]],
+            "precision": [round(m["precision"], 4)],
+            "recall": [round(m["recall"], 4)],
+            "f1": [round(m["f1"], 4)],
+        }
+    )

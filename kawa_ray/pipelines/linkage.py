@@ -1,0 +1,174 @@
+"""The flagship pipeline: read -> extract -> detect -> block -> pair ->
+score -> cluster (SURVEY.md §7.1).
+
+Every stage is a Ray Data transform; the only driver-side materialised
+objects are node/edge tables in the **distinct-surface space** (bounded
+by lexicon size, not corpus size) and the final norm->cluster map that
+is broadcast back.  The ``html`` payload column never crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from kawa_ray.config import LinkageConfig
+from kawa_ray.sources.roster import alias_embedding_table, build_roster, roster_word2ner
+from kawa_ray.stages.blocking import node_block_keys, partial_node_agg, salt_block_keys
+from kawa_ray.stages.extract import extract_stage
+from kawa_ray.stages.mentions import mention_stage
+from kawa_ray.stages.pairs import explode_block
+from kawa_ray.stages.clustering import union_find_components
+from kawa_ray.stages.scoring import PairScorer
+from kawa_ray.state.lexicon import LexiconIndex
+
+_ARTIFACT_CACHE: dict[str, object] = {}
+
+
+def _pool_size(requested: int) -> int:
+    """Actor-pool size that always leaves CPUs for upstream read/task
+    operators — a pool that reserves every CPU starves the producers and
+    the pipeline stalls (ray_guide 'Stateful stages')."""
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        total = 4
+    return max(1, min(requested, total - 2 if total >= 4 else total - 1))
+
+
+def default_artifacts(n_entities: int = 300):
+    """(lexicon, embedding artifact) built from the fixture roster; cached
+    per process (mirrors the reference's class-level lexicon cache)."""
+    key = f"roster-{n_entities}"
+    if key not in _ARTIFACT_CACHE:
+        roster = build_roster(n_entities)
+        lex = LexiconIndex.build(roster_word2ner(roster))
+        embed = alias_embedding_table(roster)
+        _ARTIFACT_CACHE[key] = (lex, embed)
+    return _ARTIFACT_CACHE[key]
+
+
+def read_pages(pages_dir: str) -> rd.Dataset:
+    """Column-pruned read: the pipeline needs url/html/lang only (the
+    golden ``text`` column stays in storage)."""
+    return rd.read_parquet(os.path.join(pages_dir, "pages"), columns=["url", "html", "lang"])
+
+
+def detect_mentions(pages_ds: rd.Dataset, cfg: LinkageConfig | None = None,
+                    lexicon: LexiconIndex | None = None) -> rd.Dataset:
+    """S1+S2: pages -> mentions Dataset."""
+    cfg = cfg or LinkageConfig()
+    if lexicon is None:
+        lexicon, _ = default_artifacts()
+    lex_ref = ray.put(lexicon.to_bytes())
+    texts = extract_stage(pages_ds)
+    return mention_stage(
+        texts, lex_ref, batch_size=cfg.detect_batch_size,
+        concurrency=_pool_size(cfg.detect_concurrency),
+    )
+
+
+def build_nodes(mentions: rd.Dataset) -> rd.Dataset:
+    """Mentions -> distinct-norm nodes with mention counts.  Pre-aggregated
+    per batch so the groupby shuffles partials, not raw mentions (hot-key
+    skew lands here; the combiner bounds it)."""
+    return (
+        mentions.map_batches(partial_node_agg, batch_format="pyarrow")
+        .groupby("norm")
+        .aggregate(Sum("n", alias_name="n_mentions"))
+    )
+
+
+def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig) -> rd.Dataset:
+    """S3+S4: nodes -> deduped candidate pairs (a < b)."""
+    keyed = nodes.map_batches(
+        lambda b: node_block_keys(b, cfg), batch_format="pyarrow"
+    )
+    # first-pass block-size census (small: one row per distinct block key)
+    sizes = keyed.groupby("block_key").aggregate(Sum("n_mentions", alias_name="members"))
+    hot = {
+        r["block_key"]: int(r["members"])
+        for r in sizes.filter(lambda row: row["members"] > cfg.hot_key_threshold).take_all()
+    }
+
+    def salt(batch: pd.DataFrame) -> pd.DataFrame:
+        return salt_block_keys(batch, hot, cfg.n_salts)
+
+    keyed = keyed.map_batches(salt, batch_format="pandas")
+    pairs = keyed.groupby("block_key").map_groups(
+        lambda g: explode_block(g, cfg.max_pairs_per_block), batch_format="pandas"
+    )
+    # exact pair dedup: hash-partition on canonical pair key, keep first
+    pairs = pairs.map_batches(
+        lambda df: df.assign(pair_key=df["a"] + "\x00" + df["b"]), batch_format="pandas"
+    )
+    pairs = pairs.groupby("pair_key").map_groups(lambda g: g.head(1), batch_format="pandas")
+    return pairs.select_columns(["a", "b", "block_key"])
+
+
+def score_pairs(pairs: rd.Dataset, cfg: LinkageConfig,
+                embed_obj=None) -> rd.Dataset:
+    """S5: attach jw/lev/cos/score columns via the scoring actor pool."""
+    if embed_obj is None:
+        _, embed_obj = default_artifacts()
+    embed_ref = ray.put(embed_obj)
+    return pairs.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"embed_ref": embed_ref, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.score_batch_size,
+        concurrency=_pool_size(cfg.score_concurrency),
+    )
+
+
+def cluster_norms(scored: rd.Dataset, nodes: rd.Dataset, cfg: LinkageConfig) -> dict[str, str]:
+    """S6: edges above threshold -> norm -> cluster id (driver union-find;
+    edge stream is distinct-surface sized)."""
+    edges = scored.filter(lambda r: r["score"] >= cfg.edge_threshold)
+    edge_list = [(r["a"], r["b"]) for r in edges.select_columns(["a", "b"]).take_all()]
+    all_norms = [r["norm"] for r in nodes.select_columns(["norm"]).take_all()]
+    return union_find_components(edge_list, all_norms)
+
+
+def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
+               n_entities: int = 300):
+    """End-to-end linkage.  Returns dict with datasets + the cluster map:
+    ``mentions`` (Dataset), ``clusters`` (Dataset: mention_id, url, norm,
+    entity_cluster), ``norm2cluster`` (dict), ``n_pairs`` (int)."""
+    cfg = cfg or LinkageConfig()
+    lexicon, embed_obj = default_artifacts(n_entities)
+    pages = read_pages(pages_dir)
+    mentions = detect_mentions(pages, cfg, lexicon).materialize()
+    nodes = build_nodes(mentions).materialize()
+    pairs = candidate_pairs(nodes, cfg)
+    scored = score_pairs(pairs, cfg, embed_obj).materialize()
+    norm2cluster = cluster_norms(scored, nodes, cfg)
+    c_ref = ray.put(norm2cluster)
+
+    def attach(batch: pa.Table, _ref=c_ref) -> pa.Table:
+        cmap = ray.get(_ref)
+        norms = batch.column("norm").to_pylist()
+        clusters = [cmap.get(n, n) for n in norms]
+        return pa.table(
+            {
+                "mention_id": batch.column("mention_id"),
+                "url": batch.column("url"),
+                "norm": batch.column("norm"),
+                "entity_cluster": pa.array(clusters, pa.string()),
+            }
+        )
+
+    clusters = mentions.map_batches(attach, batch_format="pyarrow")
+    return {
+        "mentions": mentions,
+        "clusters": clusters,
+        "norm2cluster": norm2cluster,
+        "n_pairs": scored.count(),
+    }

@@ -1,0 +1,69 @@
+"""The operator registry consumed by ``__ray_entry__.py``:
+``QUERIES[name](sf_dir) -> result`` and, for every SQL-expressible one,
+``ORACLE_SQL[name]`` (DuckDB, same column names, same rounding).
+
+Names without an oracle entry are non-SQL-expressible ops (sketches,
+lexicon detection, clustering) and get the driver's rows-only check;
+their correctness instruments are the pytest suites.
+"""
+
+from __future__ import annotations
+
+from kawa_ray.pipelines import docs, er_queries, relational, vectors
+
+QUERIES = {
+    # relational operator parity (SURVEY.md §2.2/§2.6 mappings)
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_top_orders": relational.q3_top_orders,
+    "orders_by_priority": relational.orders_by_priority,
+    "nation_customer_balance": relational.nation_customer_balance,
+    "top_parts_by_price": relational.top_parts_by_price,
+    "lineitem_filtered_stats": relational.lineitem_filtered_stats,
+    "distinct_suppliers_per_flag": relational.distinct_suppliers_per_flag,
+    "events_by_type": relational.events_by_type,
+    "hourly_event_counts": relational.hourly_event_counts,
+    "top_users_by_value": relational.top_users_by_value,
+    "events_dedup_first": relational.events_dedup_first,
+    # text analysis / dedup over documents
+    "docs_per_lang": docs.docs_per_lang,
+    "token_count_stats": docs.token_count_stats,
+    "doc_fingerprints": docs.doc_fingerprints,
+    "exact_dedup_docs": docs.exact_dedup_docs,
+    "punctuation_stats": docs.punctuation_stats,
+    "quality_scores": docs.quality_scores,
+    "lang_id": docs.lang_id,
+    "minhash_dedup_docs": docs.minhash_dedup_docs,
+    "simhash_dedup_docs": docs.simhash_dedup_docs,
+    # similarity search over embeddings
+    "ann_topk": vectors.ann_topk,
+    "ann_lsh_topk": vectors.ann_lsh_topk,
+    "embedding_label_stats": vectors.embedding_label_stats,
+    "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
+    # flagship entity-resolution pipeline (synthetic pages corpus)
+    "er_extract_check": er_queries.er_extract_check,
+    "er_mention_stats": er_queries.er_mention_stats,
+    "er_clusters": er_queries.er_clusters,
+    "er_eval": er_queries.er_eval,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": relational.Q1_SQL,
+    "q3_top_orders": relational.Q3_SQL,
+    "orders_by_priority": relational.ORDERS_BY_PRIORITY_SQL,
+    "nation_customer_balance": relational.NATION_CUSTOMER_BALANCE_SQL,
+    "top_parts_by_price": relational.TOP_PARTS_SQL,
+    "lineitem_filtered_stats": relational.LINEITEM_FILTER_SQL,
+    "distinct_suppliers_per_flag": relational.DISTINCT_SUPPLIERS_SQL,
+    "events_by_type": relational.EVENTS_BY_TYPE_SQL,
+    "hourly_event_counts": relational.HOURLY_EVENTS_SQL,
+    "top_users_by_value": relational.TOP_USERS_SQL,
+    "events_dedup_first": relational.EVENTS_DEDUP_SQL,
+    "docs_per_lang": docs.DOCS_PER_LANG_SQL,
+    "token_count_stats": docs.TOKEN_COUNT_SQL,
+    "doc_fingerprints": docs.DOC_FINGERPRINTS_SQL,
+    "exact_dedup_docs": docs.EXACT_DEDUP_SQL,
+    "punctuation_stats": docs.PUNCT_STATS_SQL,
+    "ann_topk": vectors.ANN_TOPK_SQL,
+    "embedding_label_stats": vectors.EMBEDDING_LABEL_STATS_SQL,
+    "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,
+}

@@ -1,0 +1,341 @@
+"""Relational operator suite over the driver's TPC-H-ish tables —
+grouped aggregates, broadcast joins, top-k, sort, filter, distinct,
+window dedup (SURVEY.md §2.6 coverage: B2, B7, B9, M4 mappings).
+
+Every query takes ``sf_dir`` and returns a small result; inputs are
+column-pruned at the read and aggregations are pre-combined per batch
+inside ``map_batches`` before the (tiny) global ``groupby`` shuffle —
+the partial-aggregation pattern that keeps the wide step small at any
+scale.  Float aggregates are rounded (2 decimals) in lockstep with the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partials (TPC-H Q1 shape)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_price", "revenue"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Broadcast-small-side join chain + grouped sum + top-k
+    (the reference's dict joins, SURVEY.md §2.6 'Joins/lookups')."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = set(cust.to_pandas().query("c_mktsegment == 'BUILDING'")["c_custkey"])
+    seg_ref = ray.put(seg_keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def filt_orders(t: pa.Table, _ref=seg_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        mask = [k in keys for k in t.column("o_custkey").to_pylist()]
+        return t.filter(pa.array(mask)).select(["o_orderkey"])
+
+    okeys = set(
+        r["o_orderkey"]
+        for r in orders.map_batches(filt_orders, batch_format="pyarrow").take_all()
+    )
+    okeys_ref = ray.put(okeys)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table, _ref=okeys_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        df = t.to_pandas()
+        df = df[df["l_orderkey"].isin(keys)]
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(partial_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def orders_by_priority(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = out["total"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def nation_customer_balance(sf_dir: str):
+    """Broadcast dimension join (nation) + grouped aggregate."""
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    nat_ref = ray.put(nat)
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def attach(t: pa.Table, _ref=nat_ref) -> pa.Table:
+        m = ray.get(_ref)
+        df = t.to_pandas()
+        df["n_name"] = df["c_nationkey"].map(m)
+        g = df.groupby("n_name", sort=False).agg(
+            n_customers=("c_acctbal", "size"), acctbal=("c_acctbal", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        cust.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("acctbal", alias_name="acctbal"))
+        .to_pandas()
+    )
+    out["acctbal"] = out["acctbal"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+NATION_CUSTOMER_BALANCE_SQL = """
+SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def top_parts_by_price(sf_dir: str):
+    """Distributed sort + limit (top-k)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    out = ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10).to_pandas()
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+"""
+
+
+def lineitem_filtered_stats(sf_dir: str):
+    """Predicate pushdown + filter + global aggregate."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["l_discount"] >= 0.05) & (df["l_quantity"] < 25)]
+        return pa.table(
+            {
+                "n": pa.array([len(df)], pa.int64()),
+                "revenue": pa.array([float((df["l_extendedprice"] * df["l_discount"]).sum())]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"n": [int(parts["n"].sum())], "revenue": [round(float(parts["revenue"].sum()), 2)]}
+    )
+
+
+LINEITEM_FILTER_SQL = """
+SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 25
+"""
+
+
+def distinct_suppliers_per_flag(sf_dir: str):
+    """count(distinct) per group — per-batch set partials merged driver-side
+    semantics via groupby over (flag, suppkey) pairs."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+DISTINCT_SUPPLIERS_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"),
+                   Min("value", alias_name="vmin"), Max("value", alias_name="vmax"))
+        .to_pandas()
+    )
+    for c in ("total", "vmin", "vmax"):
+        out[c] = out[c].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+       ROUND(MIN(value), 2) AS vmin, ROUND(MAX(value), 2) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def hourly_event_counts(sf_dir: str):
+    """Tumbling-window aggregate expressed as floor(ts/size) grouping
+    (ray_guide 'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        out = pa.table({"hour": hour, "event_type": t.column("event_type")})
+        df = out.to_pandas().groupby(["hour", "event_type"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+HOURLY_EVENTS_SQL = """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+
+
+def top_users_by_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    out = (
+        ds.groupby("user_id").aggregate(Sum("value", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = out["total"].round(2)
+    return (
+        out.sort_values(["total", "user_id"], ascending=[False, True]).head(10).reset_index(drop=True)
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10
+"""
+
+
+def events_dedup_first(sf_dir: str):
+    """Exact dedup keep-first: hash-partition groupby + head(1)
+    (SURVEY.md §2.6 'exact dedup = hash-partition + per-group first')."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(1)
+        return g[["user_id", "event_type", "event_id"]].rename(
+            columns={"event_id": "first_event_id"}
+        )
+
+    out = (
+        ds.groupby(["user_id", "event_type"])
+        .map_groups(first_row, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""

@@ -1,0 +1,226 @@
+"""Similarity-search suite over the ``embeddings`` table — brute-force
+cosine top-k (broadcast query matrix, per-batch matmul, per-batch top-k
+partials merged at the driver), LSH-bucketed ANN variant, and
+embedding-cosine near-duplicate pairs.
+
+Mirrors the reference's cosine scoring of a query vector against the
+stacked embedding matrix (/root/reference/extract_word_embeddings.py:79-92,
+/root/reference/ontology/ontology_kb.py:1664) lifted to Ray: the query
+matrix is ``ray.put`` once and every batch does one numpy matmul.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+N_QUERIES = 3
+TOP_K = 10
+
+
+def _read_emb(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+def _query_matrix(sf_dir: str) -> tuple[list[int], np.ndarray]:
+    """The first N_QUERIES vec_ids serve as queries (deterministic)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return df["vec_id"].tolist(), q
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: per-batch matmul against the broadcast
+    query matrix, per-batch top-k partials, tiny driver-side merge."""
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qn))
+
+    def topk_partial(t: pa.Table, _ref=q_ref) -> pa.Table:
+        qids, qn = ray.get(_ref)
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+        sims = qn @ Mn.T  # (n_q, batch)
+        out_q, out_n, out_s = [], [], []
+        k = min(TOP_K + 1, sims.shape[1])
+        for qi, qid in enumerate(qids):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            for j in idx:
+                out_q.append(qid)
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    parts = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        topk_partial, batch_format="pyarrow", batch_size=2048
+    ).to_pandas()
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    # round BEFORE ranking (both sides) so rank ties break identically
+    parts["cosine"] = parts["cosine"].round(4)
+    parts = parts.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = parts.groupby("query_id", sort=True).head(TOP_K).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_COSINE_SIMILARITY(q.qe, e.embedding), 4) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def embedding_label_stats(sf_dir: str):
+    """Per-label census + rounded mean L2 norm (vector column math)."""
+    ds = _read_emb(sf_dir, ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_pylist()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        norms = np.linalg.norm(M, axis=1)
+        df = pd.DataFrame({"label": labels, "norm": norms})
+        g = df.groupby("label", sort=False)["norm"].agg(["sum", "size"]).reset_index()
+        g.columns = ["label", "norm_sum", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("norm_sum", alias_name="norm_sum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["mean_norm"] = (out["norm_sum"] / out["n"]).round(4)
+    return out[["label", "n", "mean_norm"]].sort_values("label").reset_index(drop=True)
+
+
+EMBEDDING_LABEL_STATS_SQL = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> x * x)))), 4) AS mean_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-duplicate pairs within a label partition —
+    blocked brute force (label = blocking key), SQL-oracled."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rd.from_arrow(t)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g["vec_id"], dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+        S = Mn @ Mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = S[iu, ju] >= threshold
+        a = np.minimum(ids[iu[mask]], ids[ju[mask]])
+        b = np.maximum(ids[iu[mask]], ids[ju[mask]])
+        return pd.DataFrame(
+            {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64"),
+             "label": pd.Series([g["label"].iloc[0]] * len(a), dtype="int32"),
+             "cosine": pd.Series(np.round(S[iu, ju][mask], 4), dtype="float64")}
+        )
+
+    out = ds.groupby("label").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                            "label": pd.Series(dtype="int32"),
+                            "cosine": pd.Series(dtype="float64")})
+    return out.sort_values(["label", "a", "b"]).reset_index(drop=True)
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT LEAST(e1.vec_id, e2.vec_id) AS a, GREATEST(e1.vec_id, e2.vec_id) AS b,
+       e1.label AS label,
+       ROUND(LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding), 4) AS cosine
+FROM embeddings e1 JOIN embeddings e2
+  ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+WHERE LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding) >= 0.35
+ORDER BY label, a, b
+"""
+
+
+def ann_lsh_topk(sf_dir: str, n_planes: int = 12):
+    """LSH-bucketed ANN (random-hyperplane signatures): candidate buckets
+    per query, exact re-rank inside the union of matching buckets — the
+    scale path for similarity search (rows-only; recall-checked in tests
+    against brute force)."""
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    rng = np.random.default_rng(42)
+    dim = Q.shape[1]
+    planes = rng.standard_normal((n_planes, dim))
+    q_sigs = [(int(qid), int("".join("1" if x > 0 else "0" for x in planes @ q), 2))
+              for qid, q in zip(qids, qn)]
+    ref = ray.put((q_sigs, planes, qn, qids))
+
+    def bucket_candidates(t: pa.Table, _ref=ref) -> pa.Table:
+        q_sigs, planes, qn, qids = ray.get(_ref)
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+        sigs = (Mn @ planes.T) > 0
+        sig_ints = np.zeros(len(ids), dtype=np.int64)
+        for b in range(planes.shape[0]):
+            sig_ints = (sig_ints << 1) | sigs[:, b].astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for (qid, qsig), qvec in zip(q_sigs, qn):
+            # candidates: signature within Hamming distance 2 of the query
+            xor = sig_ints ^ qsig
+            pop = np.array([bin(x).count("1") for x in xor])
+            cand = np.where(pop <= 2)[0]
+            if len(cand) == 0:
+                continue
+            sims = Mn[cand] @ qvec
+            for j, s in zip(cand, sims):
+                out_q.append(qid)
+                out_n.append(int(ids[j]))
+                out_s.append(float(s))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    parts = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        bucket_candidates, batch_format="pyarrow", batch_size=2048
+    ).to_pandas()
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(["query_id", "cosine", "neighbor_id"],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_id", sort=True).head(TOP_K).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = out["cosine"].round(4)
+    return out[["query_id", "neighbor_id", "rank", "cosine"]]

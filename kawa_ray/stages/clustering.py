@@ -1,0 +1,140 @@
+"""S6 — transitive closure: union-find (driver) + distributed min-label
+propagation (scale path).
+
+Edge count is orders of magnitude below the corpus size (edges live in
+the distinct-surface space), so the default is an exact driver-side
+union-find over the streamed edge set — the same trade the reference's
+builder makes with its incremental synonym-cluster merging
+(/root/reference/ontology/ontology_builder.py:164-174).  The scale path
+is alternating min-label propagation over ``groupby(node)`` rounds to a
+fixed point — the standard hash-to-min connected components; both paths
+are tested for identical component sets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+
+class UnionFind:
+    __slots__ = ("parent", "rank")
+
+    def __init__(self):
+        self.parent: dict = {}
+        self.rank: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            self.rank[x] = 0
+            return x
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:  # path compression
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+
+
+def union_find_components(edges: Iterable[tuple[str, str]],
+                          nodes: Iterable[str] = ()) -> dict[str, str]:
+    """node -> component id (the lexicographically smallest member)."""
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    for n in nodes:
+        uf.find(n)
+    # canonical component label = min member, deterministic across runs
+    members: dict = {}
+    for x in list(uf.parent):
+        members.setdefault(uf.find(x), []).append(x)
+    out: dict[str, str] = {}
+    for _, mem in members.items():
+        label = min(mem)
+        for x in mem:
+            out[x] = label
+    return out
+
+
+def label_propagation_components(edges_ds, max_rounds: int = 20):
+    """Distributed connected components: hash-to-min label propagation.
+
+    ``edges_ds``: Dataset with string cols (a, b).  Returns a Dataset
+    (node, component).  Each round: explode edges both directions,
+    groupby(node).min(neighbor_label) -> new labels; stop when no label
+    changed.  Rounds = O(component diameter); every round is one shuffle
+    (SURVEY.md §7.5.3).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    edges = edges_ds.select_columns(["a", "b"]).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [batch.column("b").combine_chunks(), batch.column("a").combine_chunks()]
+                ),
+            }
+        )
+
+    # labels start as the node's own name; each round a node adopts the min
+    # of (its label, neighbours' labels)
+    labels = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda g: g.head(1)[["node"]].assign(label=g["node"].iloc[0]),
+                    batch_format="pandas")
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        # join edge endpoints with current labels (broadcast: label table is
+        # node-space sized; at true scale this becomes a bucketed join)
+        lab = {r["node"]: r["label"] for r in labels.take_all()}
+        lab_ref = ray.put(lab)
+
+        def relabel(batch: pa.Table, _ref=lab_ref) -> pa.Table:
+            l = ray.get(_ref)
+            node = batch.column("node").to_pylist()
+            nbr = batch.column("nbr").to_pylist()
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.string()),
+                    "cand": pa.array([min(l[n], l[m]) for n, m in zip(node, nbr)], pa.string()),
+                }
+            )
+
+        new_labels = (
+            edges.map_batches(explode, batch_format="pyarrow")
+            .map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(
+                lambda g: pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["cand"].min()]}),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        new_lab = {r["node"]: r["label"] for r in new_labels.take_all()}
+        if new_lab == lab:
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

