@@ -98,3 +98,30 @@ def er_eval(sf_dir: str):
             "f1": [round(m["f1"], 4)],
         }
     )
+
+
+def er_clusters_resumable(sf_dir: str):
+    """Checkpointed/resumable flagship run (per-partition lineage +
+    skew manifests under /tmp); returns the per-stage manifest summary so
+    the driver sees lineage ids + throughput/skew metrics, not just rows."""
+    import tempfile
+
+    from kawa_ray.pipelines.linkage_ckpt import link_pages_checkpointed
+
+    sf = sf_of_dir(sf_dir)
+    pages_dir = ensure_pages(sf)
+    root = os.path.join(tempfile.gettempdir(), "kawa_ray_ckpt", f"sf{sf}")
+    res = link_pages_checkpointed(pages_dir, root)
+    rows = []
+    for stage, m in res["manifests"].items():
+        for pid, ent in sorted(m["partitions"].items(), key=lambda kv: int(kv[0])):
+            rows.append(
+                {
+                    "stage": stage,
+                    "pid": int(pid),
+                    "lineage_id": ent["lineage_id"],
+                    "rows_out": ent["rows_out"],
+                    "straggler_factor": m["skew"]["straggler_factor"],
+                }
+            )
+    return pd.DataFrame(rows)

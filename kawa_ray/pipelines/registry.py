@@ -44,6 +44,7 @@ QUERIES = {
     "er_mention_stats": er_queries.er_mention_stats,
     "er_clusters": er_queries.er_clusters,
     "er_eval": er_queries.er_eval,
+    "er_clusters_resumable": er_queries.er_clusters_resumable,
 }
 
 ORACLE_SQL = {
