@@ -9,7 +9,7 @@ their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import docs, er_queries, relational, vectors
+from kawa_ray.pipelines import builder, docs, er_queries, relational, vectors
 
 QUERIES = {
     # relational operator parity (SURVEY.md §2.2/§2.6 mappings)
@@ -24,6 +24,12 @@ QUERIES = {
     "hourly_event_counts": relational.hourly_event_counts,
     "top_users_by_value": relational.top_users_by_value,
     "events_dedup_first": relational.events_dedup_first,
+    # builder-ETL dataflow shapes (SURVEY.md §2.2 B2/B3/B5/B7/B11)
+    "suppliers_per_nation": builder.suppliers_per_nation,
+    "majority_event_type": builder.majority_event_type,
+    "top_type_tokens": builder.top_type_tokens,
+    "user_components": builder.user_components,
+    "expand_user_set": builder.expand_user_set,
     # text analysis / dedup over documents
     "docs_per_lang": docs.docs_per_lang,
     "token_count_stats": docs.token_count_stats,
@@ -59,6 +65,10 @@ ORACLE_SQL = {
     "hourly_event_counts": relational.HOURLY_EVENTS_SQL,
     "top_users_by_value": relational.TOP_USERS_SQL,
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
+    "suppliers_per_nation": builder.SUPPLIERS_PER_NATION_SQL,
+    "majority_event_type": builder.MAJORITY_EVENT_TYPE_SQL,
+    "top_type_tokens": builder.TOP_TYPE_TOKENS_SQL,
+    "expand_user_set": builder.EXPAND_USER_SET_SQL,
     "docs_per_lang": docs.DOCS_PER_LANG_SQL,
     "token_count_stats": docs.TOKEN_COUNT_SQL,
     "doc_fingerprints": docs.DOC_FINGERPRINTS_SQL,
