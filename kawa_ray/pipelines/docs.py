@@ -354,3 +354,54 @@ def simhash_dedup_docs(sf_dir: str, max_hamming: int = 6):
     ids = [str(r["doc_id"]) for r in _read_docs(sf_dir, ["doc_id"]).take_all()]
     groups = union_find_components(edges, ids)
     return _dedup_census(groups, ids)
+
+
+def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
+                             n_keys: int = 2):
+    """n-gram Jaccard near-dup: block on each doc's ``n_keys`` smallest
+    word-n-gram hashes (bottom-k sketch keys — near-dups share most
+    n-grams, hence their minima), verify candidates with exact Jaccard,
+    connected components, census.  Precision is exact by construction
+    (every reported duplicate passed the exact-Jaccard gate); blocking
+    recall is checked against the all-pairs oracle in
+    tests/test_text_functions.py.  Rows-only driver check (sketch-based)."""
+    from kawa_ray.functions.minhash import hash64, jaccard, word_ngrams
+    from kawa_ray.stages.clustering import union_find_components
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_doc, out_key = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = _WS.split(text.lower().strip()) if text.strip() else []
+            hs = sorted(hash64(g) for g in set(word_ngrams(toks, n)))
+            for h in hs[:n_keys]:
+                out_doc.append(doc_id)
+                out_key.append(h)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "key": pa.array(out_key, pa.uint64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2 or len(ids) > 500:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids) - 1) for j in range(i + 1, len(ids))])
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    cand = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    edges = []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa = set(word_ngrams(_WS.split(texts[a].lower().strip()), n))
+        sb = set(word_ngrams(_WS.split(texts[b].lower().strip()), n))
+        if jaccard(sa, sb) >= threshold:
+            edges.append((str(a), str(b)))
+    groups = union_find_components(edges, [str(d) for d in texts])
+    return _dedup_census(groups, [str(d) for d in texts])

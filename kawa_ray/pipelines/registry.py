@@ -40,9 +40,11 @@ QUERIES = {
     "lang_id": docs.lang_id,
     "minhash_dedup_docs": docs.minhash_dedup_docs,
     "simhash_dedup_docs": docs.simhash_dedup_docs,
+    "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
     # similarity search over embeddings
     "ann_topk": vectors.ann_topk,
     "ann_lsh_topk": vectors.ann_lsh_topk,
+    "ann_ivf_topk": vectors.ann_ivf_topk,
     "embedding_label_stats": vectors.embedding_label_stats,
     "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
     # flagship entity-resolution pipeline (synthetic pages corpus)
