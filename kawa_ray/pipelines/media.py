@@ -1,0 +1,86 @@
+"""Multimodal pipeline queries: binary media columns processed by
+actor-pool stages (decode stubbed — see kawa_ray/stages/multimodal.py).
+
+The media table is synthesised deterministically from the documents
+table's doc_ids inside ``map_batches`` (payloads are born distributed,
+never on the driver), mirroring how a real corpus would carry bytes in a
+``binary`` column next to typed metadata.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+from kawa_ray.pipelines.linkage import _pool_size
+from kawa_ray.stages.multimodal import (
+    MediaResizePlan,
+    media_feature_stage,
+    synth_media_table,
+)
+
+
+def _media_ds(sf_dir: str) -> rd.Dataset:
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synth_media_table([int(d) for d in t.column("doc_id").to_pylist()])
+
+    return docs.map_batches(synth, batch_format="pyarrow")
+
+
+def media_feature_census(sf_dir: str):
+    """decode(stub) -> features -> per media_type census.  The binary
+    payload column is dropped by the feature stage before the shuffle."""
+    feats = media_feature_stage(_media_ds(sf_dir), batch_size=64, concurrency=_pool_size(4))
+    out = (
+        feats.groupby("media_type")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Mean("width", alias_name="avg_width"),
+            Mean("height", alias_name="avg_height"),
+            Max("n_frames", alias_name="max_frames"),
+            Sum("n_bytes", alias_name="total_bytes"),
+        )
+        .to_pandas()
+    )
+    for c in ("avg_width", "avg_height"):
+        out[c] = out[c].round(3)
+    return out.sort_values("media_type").reset_index(drop=True)
+
+
+def media_resize_plan(sf_dir: str, max_side: int = 64):
+    """Resize planning over decoded metadata (stateless stage chained
+    after the actor-pool decode): items needing a resize, per type."""
+    feats = media_feature_stage(_media_ds(sf_dir), batch_size=64, concurrency=_pool_size(4))
+    planned = feats.map_batches(
+        MediaResizePlan(max_side), batch_format="pyarrow"
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shrunk = pc.or_(
+            pc.less(t.column("target_width"), t.column("width")),
+            pc.less(t.column("target_height"), t.column("height")),
+        )
+        return pa.table(
+            {
+                "media_type": t.column("media_type"),
+                "needs_resize": pc.cast(shrunk, pa.int64()),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    out = (
+        planned.map_batches(flag, batch_format="pyarrow")
+        .groupby("media_type")
+        .aggregate(Sum("needs_resize", alias_name="n_resized"), Sum("n", alias_name="n_items"))
+        .to_pandas()
+    )
+    return out.sort_values("media_type").reset_index(drop=True)

@@ -9,7 +9,7 @@ their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, er_queries, relational, vectors
+from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors
 
 QUERIES = {
     # relational operator parity (SURVEY.md §2.2/§2.6 mappings)
@@ -45,6 +45,9 @@ QUERIES = {
     "ann_topk": vectors.ann_topk,
     "ann_lsh_topk": vectors.ann_lsh_topk,
     "ann_ivf_topk": vectors.ann_ivf_topk,
+    # multimodal binary columns (decode stubbed; plumbing real)
+    "media_feature_census": media.media_feature_census,
+    "media_resize_plan": media.media_resize_plan,
     "embedding_label_stats": vectors.embedding_label_stats,
     "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
     # flagship entity-resolution pipeline (synthetic pages corpus)
