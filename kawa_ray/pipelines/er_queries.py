@@ -125,3 +125,32 @@ def er_clusters_resumable(sf_dir: str):
                 }
             )
     return pd.DataFrame(rows)
+
+
+def er_lexicon_build(sf_dir: str):
+    """Distributed (Ray groupby) lexicon build census: per-level key and
+    residual counts, asserted equal to the single-process build (the
+    equality itself is gated in tests/test_lexicon_distributed.py)."""
+    from kawa_ray.pipelines.lexicon_build import build_lexicon_distributed
+    from kawa_ray.sources.roster import build_roster, roster_word2ner
+    from kawa_ray.state.lexicon import LexiconIndex
+
+    w2n = list(roster_word2ner(build_roster(300)))
+    dist = build_lexicon_distributed(w2n)
+    single = LexiconIndex.build(w2n)
+    rows = [
+        {
+            "level": lv,
+            "n_prefixes": len(d),
+            "equal_to_single_process": d == s,
+        }
+        for lv, (d, s) in enumerate(zip(dist.levels, single.levels))
+    ]
+    rows.append(
+        {
+            "level": -1,  # residual exact dict
+            "n_prefixes": len(dist.residual),
+            "equal_to_single_process": dist.residual == single.residual,
+        }
+    )
+    return pd.DataFrame(rows)

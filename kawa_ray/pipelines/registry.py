@@ -56,6 +56,7 @@ QUERIES = {
     "er_clusters": er_queries.er_clusters,
     "er_eval": er_queries.er_eval,
     "er_clusters_resumable": er_queries.er_clusters_resumable,
+    "er_lexicon_build": er_queries.er_lexicon_build,
 }
 
 ORACLE_SQL = {
