@@ -78,19 +78,44 @@ def detect_mentions(pages_ds: rd.Dataset, cfg: LinkageConfig | None = None,
 def build_nodes(mentions: rd.Dataset) -> rd.Dataset:
     """Mentions -> distinct-norm nodes with mention counts.  Pre-aggregated
     per batch so the groupby shuffles partials, not raw mentions (hot-key
-    skew lands here; the combiner bounds it)."""
+    skew lands here; the combiner bounds it).  The combiner output is
+    coalesced to ~CPU-count blocks first: shuffle cost scales with block
+    count on both map and reduce sides, and one tiny partial block per
+    detect batch would otherwise dominate the aggregate wall-time."""
+    partials = mentions.map_batches(partial_node_agg, batch_format="pyarrow").materialize()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    nblocks = max(1, min(partials.num_blocks(), cpus))
     return (
-        mentions.map_batches(partial_node_agg, batch_format="pyarrow")
+        partials.repartition(nblocks)
         .groupby("norm")
         .aggregate(Sum("n", alias_name="n_mentions"))
     )
 
 
-def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig) -> rd.Dataset:
-    """S3+S4: nodes -> deduped candidate pairs (a < b)."""
+def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
+                    partitions: int | None = None) -> rd.Dataset:
+    """S3+S4: nodes -> deduped candidate pairs (a < b).
+
+    Both wide steps shuffle on a HASH PARTITION of their key (block_key /
+    pair_key) rather than the raw key: the shuffle moves the same rows,
+    but downstream work runs once per partition with an in-batch pandas
+    groupby instead of once per distinct key (per-group dispatch overhead
+    dominated this stage at 10k+ block keys)."""
+    from kawa_ray.functions.minhash import hash64
+    from kawa_ray.stages.pairs import explode_partition
+
+    if partitions is None:
+        try:
+            partitions = 2 * int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            partitions = 8
+
     keyed = nodes.map_batches(
         lambda b: node_block_keys(b, cfg), batch_format="pyarrow"
-    )
+    ).materialize()  # reused by the census AND the explode below
     # first-pass block-size census (small: one row per distinct block key)
     sizes = keyed.groupby("block_key").aggregate(Sum("n_mentions", alias_name="members"))
     hot = {
@@ -98,18 +123,26 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig) -> rd.Dataset:
         for r in sizes.filter(lambda row: row["members"] > cfg.hot_key_threshold).take_all()
     }
 
-    def salt(batch: pd.DataFrame) -> pd.DataFrame:
-        return salt_block_keys(batch, hot, cfg.n_salts)
+    def salt(batch: pd.DataFrame, _p=partitions) -> pd.DataFrame:
+        out = salt_block_keys(batch, hot, cfg.n_salts)
+        out["part"] = [hash64(k) % _p for k in out["block_key"]]
+        return out
 
     keyed = keyed.map_batches(salt, batch_format="pandas")
-    pairs = keyed.groupby("block_key").map_groups(
-        lambda g: explode_block(g, cfg.max_pairs_per_block), batch_format="pandas"
+    pairs = keyed.groupby("part").map_groups(
+        lambda g: explode_partition(g, cfg.max_pairs_per_block), batch_format="pandas"
     )
     # exact pair dedup: hash-partition on canonical pair key, keep first
     pairs = pairs.map_batches(
-        lambda df: df.assign(pair_key=df["a"] + "\x00" + df["b"]), batch_format="pandas"
+        lambda df, _p=partitions: df.assign(
+            pair_key=df["a"] + "\x00" + df["b"],
+            part=[hash64(a + "\x00" + b) % _p for a, b in zip(df["a"], df["b"])],
+        ),
+        batch_format="pandas",
     )
-    pairs = pairs.groupby("pair_key").map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = pairs.groupby("part").map_groups(
+        lambda g: g.drop_duplicates("pair_key"), batch_format="pandas"
+    )
     return pairs.select_columns(["a", "b", "block_key"])
 
 
@@ -147,6 +180,10 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     pages = read_pages(pages_dir)
     mentions = detect_mentions(pages, cfg, lexicon).materialize()
     nodes = build_nodes(mentions).materialize()
+    # nodes live in the distinct-surface space (≪ corpus); size the block
+    # count to the data so the blocking/pair shuffles don't pay per-block
+    # overhead on near-empty partitions
+    nodes = nodes.repartition(max(1, min(64, nodes.count() // 2048 + 1))).materialize()
     pairs = candidate_pairs(nodes, cfg)
     scored = score_pairs(pairs, cfg, embed_obj).materialize()
     norm2cluster = cluster_norms(scored, nodes, cfg)
