@@ -50,6 +50,7 @@ QUERIES = {
     "media_resize_plan": media.media_resize_plan,
     "embedding_label_stats": vectors.embedding_label_stats,
     "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
+    "embedding_centroids": vectors.embedding_centroids,
     # flagship entity-resolution pipeline (synthetic pages corpus)
     "er_extract_check": er_queries.er_extract_check,
     "er_mention_stats": er_queries.er_mention_stats,
@@ -83,4 +84,5 @@ ORACLE_SQL = {
     "ann_topk": vectors.ANN_TOPK_SQL,
     "embedding_label_stats": vectors.EMBEDDING_LABEL_STATS_SQL,
     "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,
+    "embedding_centroids": vectors.EMBEDDING_CENTROIDS_SQL,
 }

@@ -300,3 +300,59 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None, train_iters: int = 5,
     out = parts.groupby("query_id", sort=True).head(TOP_K).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroid: grouped mean of the vector column — the shape
+    of the reference's parent-vector recompute (mean of children,
+    /root/reference/ontology/ontology_kb.py:1117) and cross-lingual
+    embedding averaging (extract_word_embeddings.py:65-73).  Partial
+    (sum, n) per batch -> tiny groupby -> mean; reported as the first
+    three centroid components + member count per label."""
+    ds = _read_emb(sf_dir, ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        labels = np.asarray(t.column("label").to_pylist())
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        out = {"label": [], "n": [], "s0": [], "s1": [], "s2": []}
+        for lab in np.unique(labels):
+            mask = labels == lab
+            s = M[mask].sum(axis=0)
+            out["label"].append(int(lab))
+            out["n"].append(int(mask.sum()))
+            out["s0"].append(float(s[0]))
+            out["s1"].append(float(s[1]))
+            out["s2"].append(float(s[2]))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s0", alias_name="s0"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    for i in range(3):
+        agg[f"c{i}"] = (agg[f"s{i}"] / agg["n"]).round(6)
+    out = agg[["label", "n", "c0", "c1", "c2"]].sort_values("label")
+    return out.reset_index(drop=True)
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(AVG(embedding[1]), 6) AS c0,
+       ROUND(AVG(embedding[2]), 6) AS c1,
+       ROUND(AVG(embedding[3]), 6) AS c2
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
