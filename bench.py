@@ -57,21 +57,28 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {"linkage_e2e": round(headline, 3)}
 
-    from kawa_ray.pipelines import docs, relational, vectors
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        from kawa_ray.pipelines import builder, docs, media, relational, vectors
 
-    for name, fn in (
-        ("q1_pricing_summary", relational.q1_pricing_summary),
-        ("q3_top_orders", relational.q3_top_orders),
-        ("events_dedup_first", relational.events_dedup_first),
-        ("token_count_stats", docs.token_count_stats),
-        ("exact_dedup_docs", docs.exact_dedup_docs),
-        ("minhash_dedup_docs", docs.minhash_dedup_docs),
-        ("simhash_dedup_docs", docs.simhash_dedup_docs),
-        ("ann_topk", vectors.ann_topk),
-    ):
-        t = time.time()
-        fn(sf_dir)
-        queries[name] = round(time.time() - t, 3)
+        for name, fn in (
+            ("q1_pricing_summary", relational.q1_pricing_summary),
+            ("q3_top_orders", relational.q3_top_orders),
+            ("events_dedup_first", relational.events_dedup_first),
+            ("token_count_stats", docs.token_count_stats),
+            ("exact_dedup_docs", docs.exact_dedup_docs),
+            ("minhash_dedup_docs", docs.minhash_dedup_docs),
+            ("simhash_dedup_docs", docs.simhash_dedup_docs),
+            ("ngram_jaccard_dedup_docs", docs.ngram_jaccard_dedup_docs),
+            ("ann_topk", vectors.ann_topk),
+            ("ann_ivf_topk", vectors.ann_ivf_topk),
+            ("embedding_centroids", vectors.embedding_centroids),
+            ("suppliers_per_nation", builder.suppliers_per_nation),
+            ("majority_event_type", builder.majority_event_type),
+            ("media_feature_census", media.media_feature_census),
+        ):
+            t = time.time()
+            fn(sf_dir)
+            queries[name] = round(time.time() - t, 3)
 
     out = {
         "metric": "linkage_e2e_sec",
@@ -92,7 +99,8 @@ def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (BASELINE.md)."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # headline-only: the per-operator suite is irrelevant to the ratio
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
