@@ -120,6 +120,11 @@ class LinkageConfig:
     # Execution
     # requested pool sizes; linkage._pool_size clamps them so the pool
     # never reserves every CPU (upstream read tasks need slots)
+    # keyed-node row count below which pair generation runs driver-side
+    # (three shuffles on distinct-surface-sized data cost more than the
+    # work; above it the hash-partitioned distributed path runs)
+    driver_pair_threshold: int = 200_000
+
     detect_batch_size: int = 256
     detect_concurrency: int = 24
     score_batch_size: int = 4096

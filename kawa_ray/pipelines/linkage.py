@@ -82,14 +82,13 @@ def build_nodes(mentions: rd.Dataset) -> rd.Dataset:
     coalesced to ~CPU-count blocks first: shuffle cost scales with block
     count on both map and reduce sides, and one tiny partial block per
     detect batch would otherwise dominate the aggregate wall-time."""
-    partials = mentions.map_batches(partial_node_agg, batch_format="pyarrow").materialize()
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    nblocks = max(1, min(partials.num_blocks(), cpus))
     return (
-        partials.repartition(nblocks)
+        mentions.map_batches(partial_node_agg, batch_format="pyarrow")
+        .repartition(cpus)
         .groupby("norm")
         .aggregate(Sum("n", alias_name="n_mentions"))
     )
@@ -107,15 +106,26 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
     from kawa_ray.functions.minhash import hash64
     from kawa_ray.stages.pairs import explode_partition
 
-    if partitions is None:
-        try:
-            partitions = 2 * int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            partitions = 8
-
     keyed = nodes.map_batches(
         lambda b: node_block_keys(b, cfg), batch_format="pyarrow"
     ).materialize()  # reused by the census AND the explode below
+    n_keyed = keyed.count()
+    if n_keyed <= cfg.driver_pair_threshold:
+        # the keyed node table is distinct-surface sized; below the
+        # threshold the whole census/salt/explode/dedup fits on the driver
+        # and three tiny shuffles would cost more than the work itself.
+        # Same helper functions as the distributed path -> identical pairs
+        # (asserted in tests/test_linkage_e2e.py::test_pair_paths_agree).
+        return _candidate_pairs_driver(keyed, cfg)
+    if partitions is None:
+        # one partition per ~4k key rows, capped at 2x cluster CPUs: enough
+        # spread for balance, few enough reduce tasks that per-task overhead
+        # stays off the critical path on small inputs
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        partitions = max(1, min(2 * cpus, n_keyed // 4096 + 1))
     # first-pass block-size census (small: one row per distinct block key)
     sizes = keyed.groupby("block_key").aggregate(Sum("n_mentions", alias_name="members"))
     hot = {
@@ -146,6 +156,21 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
     return pairs.select_columns(["a", "b", "block_key"])
 
 
+def _candidate_pairs_driver(keyed: rd.Dataset, cfg: LinkageConfig) -> rd.Dataset:
+    """Small-side pair generation: identical semantics to the distributed
+    path, executed once on the driver (census -> salt -> explode -> dedup
+    with the same helpers)."""
+    from kawa_ray.stages.pairs import explode_partition
+
+    df = keyed.to_pandas()
+    sizes = df.groupby("block_key", sort=False)["n_mentions"].sum()
+    hot = {k: int(v) for k, v in sizes.items() if v > cfg.hot_key_threshold}
+    df = salt_block_keys(df, hot, cfg.n_salts)
+    pairs = explode_partition(df, cfg.max_pairs_per_block)
+    pairs = pairs.drop_duplicates(subset=["a", "b"])
+    return rd.from_pandas(pairs[["a", "b", "block_key"]])
+
+
 def score_pairs(pairs: rd.Dataset, cfg: LinkageConfig,
                 embed_obj=None) -> rd.Dataset:
     """S5: attach jw/lev/cos/score columns via the scoring actor pool."""
@@ -157,7 +182,8 @@ def score_pairs(pairs: rd.Dataset, cfg: LinkageConfig,
         fn_constructor_kwargs={"embed_ref": embed_ref, "cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
-        concurrency=_pool_size(cfg.score_concurrency),
+        # autoscaling pool: tiny pair streams spin up one actor, big ones N
+        concurrency=(1, _pool_size(cfg.score_concurrency)),
     )
 
 

@@ -239,7 +239,7 @@ def generate_pages(n_pages: int, n_entities: int = 300) -> tuple[pa.Table, pa.Ta
     return pages, gold
 
 
-SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000}
 CACHE_DIR = os.environ.get("KAWA_PAGES_DIR", "/tmp/kawa_ray_pages")
 _GEN_VERSION = "v1"  # bump when generator output changes
 

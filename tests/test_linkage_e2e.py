@@ -72,3 +72,27 @@ def test_union_find_matches_label_propagation(ray_session):
     for n in ("a", "b", "c", "d", "e"):
         for m in ("a", "b", "c", "d", "e"):
             assert (uf[n] == uf[m]) == (lp[n] == lp[m]), (n, m)
+
+
+def test_pair_paths_agree(ray_session):
+    """Driver-side (small-side) and distributed pair generation must emit
+    identical pair sets — same census/salt/explode/dedup helpers."""
+    from dataclasses import replace
+
+    from kawa_ray.config import LinkageConfig
+    from kawa_ray.pipelines.linkage import (
+        build_nodes, candidate_pairs, default_artifacts, detect_mentions, read_pages,
+    )
+    from kawa_ray.sources.pages import ensure_pages
+
+    pages_dir = ensure_pages("0.001")
+    cfg = LinkageConfig()
+    lexicon, _ = default_artifacts()
+    mentions = detect_mentions(read_pages(pages_dir), cfg, lexicon).materialize()
+    nodes = build_nodes(mentions).materialize()
+
+    driver = candidate_pairs(nodes, replace(cfg, driver_pair_threshold=10**9))
+    dist = candidate_pairs(nodes, replace(cfg, driver_pair_threshold=0))
+    d_pairs = {(r["a"], r["b"]) for r in driver.take_all()}
+    x_pairs = {(r["a"], r["b"]) for r in dist.take_all()}
+    assert d_pairs == x_pairs and len(d_pairs) > 0
