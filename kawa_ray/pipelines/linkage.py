@@ -75,20 +75,26 @@ def detect_mentions(pages_ds: rd.Dataset, cfg: LinkageConfig | None = None,
     )
 
 
-def build_nodes(mentions: rd.Dataset) -> rd.Dataset:
+def build_nodes(mentions: rd.Dataset, driver_threshold: int = 2_000_000) -> rd.Dataset:
     """Mentions -> distinct-norm nodes with mention counts.  Pre-aggregated
-    per batch so the groupby shuffles partials, not raw mentions (hot-key
-    skew lands here; the combiner bounds it).  The combiner output is
-    coalesced to ~CPU-count blocks first: shuffle cost scales with block
-    count on both map and reduce sides, and one tiny partial block per
-    detect batch would otherwise dominate the aggregate wall-time."""
+    per batch so only (norm, partial count) rows leave the map side (the
+    combiner bounds hot-key skew).  The combiner output lives in
+    distinct-norms x blocks space — usually tiny relative to the corpus —
+    so below ``driver_threshold`` rows the final merge runs once on the
+    driver; above it, a distributed groupby (coalesced to ~CPU blocks so
+    per-block shuffle overhead stays off the critical path)."""
+    partials = mentions.map_batches(partial_node_agg, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_threshold:
+        df = partials.to_pandas()
+        out = df.groupby("norm", sort=False, as_index=False)["n"].sum()
+        out = out.rename(columns={"n": "n_mentions"})
+        return rd.from_pandas(out)
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
     return (
-        mentions.map_batches(partial_node_agg, batch_format="pyarrow")
-        .repartition(cpus)
+        partials.repartition(cpus)
         .groupby("norm")
         .aggregate(Sum("n", alias_name="n_mentions"))
     )

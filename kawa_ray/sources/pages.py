@@ -201,12 +201,14 @@ class PageGenerator:
         return row, ordered_mentions
 
 
-def generate_pages(n_pages: int, n_entities: int = 300) -> tuple[pa.Table, pa.Table]:
-    """-> (pages table, gold_mentions table), fully deterministic."""
+def generate_pages(n_pages: int, n_entities: int = 300,
+                   start: int = 0) -> tuple[pa.Table, pa.Table]:
+    """-> (pages table, gold_mentions table) for doc_ids
+    [start, start+n_pages), fully deterministic."""
     gen = PageGenerator(n_entities)
     rows = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
     gm = {k: [] for k in ("url", "seq", "surface", "norm", "entity_id", "label")}
-    for doc_id in range(n_pages):
+    for doc_id in range(start, start + n_pages):
         row, mentions = gen.render(doc_id)
         for k, v in row.items():
             rows[k].append(v)
@@ -239,7 +241,7 @@ def generate_pages(n_pages: int, n_entities: int = 300) -> tuple[pa.Table, pa.Ta
     return pages, gold
 
 
-SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000}
+SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000, "1.6": 800000}
 CACHE_DIR = os.environ.get("KAWA_PAGES_DIR", "/tmp/kawa_ray_pages")
 _GEN_VERSION = "v1"  # bump when generator output changes
 
@@ -262,13 +264,36 @@ def ensure_pages(sf: str, shards: int = 16) -> str:
         return out_dir
     tmp = out_dir + f".tmp{os.getpid()}"
     os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
-    pages, gold = generate_pages(n_pages)
-    # shard the pages so Ray reads parallelise
-    n_shards = max(1, min(shards, n_pages // 250))
+    # shard-by-shard generation: content is a pure function of doc_id, so
+    # shards generate independently (Ray-parallel when a session is up)
+    # and nothing holds the whole corpus in memory
+    n_shards = max(1, min(max(shards, n_pages // 50000), max(1, n_pages // 250)))
     per = (n_pages + n_shards - 1) // n_shards
-    for s in range(n_shards):
-        pq.write_table(pages.slice(s * per, per), os.path.join(tmp, "pages", f"part-{s:05d}.parquet"))
-    pq.write_table(gold, os.path.join(tmp, "gold_mentions.parquet"))
+    ranges = [(s, s * per, min(per, n_pages - s * per)) for s in range(n_shards)
+              if s * per < n_pages]
+
+    def one_shard(sid: int, start: int, count: int) -> pa.Table:
+        pages, gold = generate_pages(count, start=start)
+        pq.write_table(pages, os.path.join(tmp, "pages", f"part-{sid:05d}.parquet"))
+        return gold
+
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(ranges) > 1:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _gen(sid: int, start: int, count: int) -> pa.Table:
+            return one_shard(sid, start, count)
+
+        golds = ray.get([_gen.remote(*r) for r in ranges])
+    else:
+        golds = [one_shard(*r) for r in ranges]
+    pq.write_table(pa.concat_tables(golds), os.path.join(tmp, "gold_mentions.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
