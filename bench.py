@@ -116,11 +116,14 @@ def run_scaling() -> dict:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    # warm caches (corpus generation + OS page cache) before timing either
+    # two runs per level, best-of-2: the first 8-CPU run doubles as the
+    # cache warm-up; min() filters one-off scheduler/IO noise from the
+    # ratio (each run is a full fresh ray.init process)
     lo, hi = 8, 32
-    warm = one(lo)
-    r_lo = one(lo)
-    r_hi = one(hi)
+    lo_runs = [one(lo), one(lo)]
+    hi_runs = [one(hi), one(hi)]
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -130,7 +133,9 @@ def run_scaling() -> dict:
         "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
-        "warmup_sec": warm["value"],
+        "runs_sec_8": [r["value"] for r in lo_runs],
+        "runs_sec_32": [r["value"] for r in hi_runs],
+        "n_pages": r_lo.get("n_pages"),
         "sf": r_lo["sf"],
     }
 

@@ -125,7 +125,7 @@ class LinkageConfig:
     # work; above it the hash-partitioned distributed path runs)
     driver_pair_threshold: int = 200_000
 
-    detect_batch_size: int = 256
-    detect_concurrency: int = 24
+    detect_batch_size: int = 512
+    detect_concurrency: int = 30
     score_batch_size: int = 4096
     score_concurrency: int = 8

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -24,7 +23,6 @@ from kawa_ray.sources.roster import alias_embedding_table, build_roster, roster_
 from kawa_ray.stages.blocking import node_block_keys, partial_node_agg, salt_block_keys
 from kawa_ray.stages.extract import extract_stage
 from kawa_ray.stages.mentions import mention_stage
-from kawa_ray.stages.pairs import explode_block
 from kawa_ray.stages.clustering import union_find_components
 from kawa_ray.stages.scoring import PairScorer
 from kawa_ray.state.lexicon import LexiconIndex
@@ -112,17 +110,21 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
     from kawa_ray.functions.minhash import hash64
     from kawa_ray.stages.pairs import explode_partition
 
+    n_nodes = nodes.count()
+    if n_nodes <= cfg.driver_pair_threshold:
+        # the node table is distinct-surface sized; below the threshold
+        # keygen + census/salt/explode/dedup all fit on the driver and
+        # three tiny shuffles would cost more than the work itself.
+        # Same helper functions as the distributed path -> identical pairs
+        # (asserted in tests/test_linkage_e2e.py::test_pair_paths_agree).
+        nodes_tbl = pa.concat_tables(
+            [b for b in nodes.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        )
+        return _candidate_pairs_driver(node_block_keys(nodes_tbl, cfg), cfg)
     keyed = nodes.map_batches(
         lambda b: node_block_keys(b, cfg), batch_format="pyarrow"
     ).materialize()  # reused by the census AND the explode below
     n_keyed = keyed.count()
-    if n_keyed <= cfg.driver_pair_threshold:
-        # the keyed node table is distinct-surface sized; below the
-        # threshold the whole census/salt/explode/dedup fits on the driver
-        # and three tiny shuffles would cost more than the work itself.
-        # Same helper functions as the distributed path -> identical pairs
-        # (asserted in tests/test_linkage_e2e.py::test_pair_paths_agree).
-        return _candidate_pairs_driver(keyed, cfg)
     if partitions is None:
         # one partition per ~4k key rows, capped at 2x cluster CPUs: enough
         # spread for balance, few enough reduce tasks that per-task overhead
@@ -162,10 +164,10 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
     return pairs.select_columns(["a", "b", "block_key"])
 
 
-def _candidate_pairs_driver(keyed: rd.Dataset, cfg: LinkageConfig) -> rd.Dataset:
+def _pairs_driver_df(keyed, cfg: LinkageConfig) -> pd.DataFrame:
     """Small-side pair generation: identical semantics to the distributed
     path, executed once on the driver (census -> salt -> explode -> dedup
-    with the same helpers)."""
+    with the same helpers).  ``keyed``: Dataset or pyarrow Table."""
     from kawa_ray.stages.pairs import explode_partition
 
     df = keyed.to_pandas()
@@ -174,7 +176,11 @@ def _candidate_pairs_driver(keyed: rd.Dataset, cfg: LinkageConfig) -> rd.Dataset
     df = salt_block_keys(df, hot, cfg.n_salts)
     pairs = explode_partition(df, cfg.max_pairs_per_block)
     pairs = pairs.drop_duplicates(subset=["a", "b"])
-    return rd.from_pandas(pairs[["a", "b", "block_key"]])
+    return pairs[["a", "b", "block_key"]]
+
+
+def _candidate_pairs_driver(keyed, cfg: LinkageConfig) -> rd.Dataset:
+    return rd.from_pandas(_pairs_driver_df(keyed, cfg))
 
 
 def score_pairs(pairs: rd.Dataset, cfg: LinkageConfig,
@@ -212,13 +218,36 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     pages = read_pages(pages_dir)
     mentions = detect_mentions(pages, cfg, lexicon).materialize()
     nodes = build_nodes(mentions).materialize()
-    # nodes live in the distinct-surface space (≪ corpus); size the block
-    # count to the data so the blocking/pair shuffles don't pay per-block
-    # overhead on near-empty partitions
-    nodes = nodes.repartition(max(1, min(64, nodes.count() // 2048 + 1))).materialize()
-    pairs = candidate_pairs(nodes, cfg)
-    scored = score_pairs(pairs, cfg, embed_obj).materialize()
-    norm2cluster = cluster_norms(scored, nodes, cfg)
+    if nodes.count() <= cfg.driver_pair_threshold:
+        # the whole post-mention graph phase lives in the distinct-surface
+        # space; below the threshold keygen/pairs/scoring/closure run once
+        # on the driver (zero extra Ray executions — each executor spin-up
+        # costs ~0.5-1s, and this phase would otherwise take five of them).
+        # The distributed stages remain the scale path below and are
+        # asserted equivalent in tests.
+        nodes_df = nodes.to_pandas()
+        keyed = node_block_keys(pa.Table.from_pandas(nodes_df), cfg)
+        pairs_df = _pairs_driver_df(keyed, cfg)
+        scorer = PairScorer(embed_obj=embed_obj, cfg=cfg)
+        if len(pairs_df):
+            scored_tbl = scorer(pa.Table.from_pandas(pairs_df))
+            sdf = scored_tbl.to_pandas()
+            edge_list = list(
+                zip(sdf.loc[sdf["score"] >= cfg.edge_threshold, "a"],
+                    sdf.loc[sdf["score"] >= cfg.edge_threshold, "b"])
+            )
+        else:
+            edge_list = []
+        norm2cluster = union_find_components(edge_list, nodes_df["norm"].tolist())
+        n_pairs = len(pairs_df)
+    else:
+        # size the block count to the data so the blocking/pair shuffles
+        # don't pay per-block overhead on near-empty partitions
+        nodes = nodes.repartition(max(1, min(64, nodes.count() // 2048 + 1))).materialize()
+        pairs = candidate_pairs(nodes, cfg)
+        scored = score_pairs(pairs, cfg, embed_obj).materialize()
+        norm2cluster = cluster_norms(scored, nodes, cfg)
+        n_pairs = scored.count()
     c_ref = ray.put(norm2cluster)
 
     def attach(batch: pa.Table, _ref=c_ref) -> pa.Table:
@@ -239,5 +268,5 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
         "mentions": mentions,
         "clusters": clusters,
         "norm2cluster": norm2cluster,
-        "n_pairs": scored.count(),
+        "n_pairs": n_pairs,
     }
