@@ -264,6 +264,31 @@ def _dedup_census(groups: dict[str, str], ids: list[str]) -> pd.DataFrame:
     )
 
 
+
+def _candidate_texts(sf_dir: str, ids: set) -> dict:
+    """Fetch ONLY the candidate docs' texts (broadcast id-set filter +
+    small take_all): the verify step needs the pair endpoints, never the
+    corpus — collecting every text on the driver would materialise the
+    whole table at 100 TB scale."""
+    import ray
+
+    ids_ref = ray.put(set(int(i) for i in ids))
+
+    def pick(t: pa.Table, _ref=ids_ref) -> pa.Table:
+        want = ray.get(_ref)
+        mask = pa.array([int(d) in want for d in t.column("doc_id").to_pylist()])
+        return t.filter(mask)
+
+    rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pick, batch_format="pyarrow"
+    ).take_all()
+    return {r["doc_id"]: r["text"] for r in rows}
+
+
+def _all_doc_ids(sf_dir: str) -> list:
+    return sorted(int(d) for d in _read_docs(sf_dir, ["doc_id"]).unique("doc_id"))
+
+
 def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                        jaccard_threshold: float = 0.8):
     """MinHash-LSH near-dup detection: shingle -> minhash -> band buckets
@@ -297,19 +322,18 @@ def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     cand = banded.groupby("band").map_groups(pairs, batch_format="pandas")
     cand_pd = cand.to_pandas().drop_duplicates()
 
-    # verify candidates with true Jaccard over word 3-grams
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in _read_docs(sf_dir, ["doc_id", "text"]).take_all()
-    }
+    # verify candidates with true Jaccard over word 3-grams, fetching only
+    # the candidate endpoints' texts
+    texts = _candidate_texts(sf_dir, set(cand_pd["a"]) | set(cand_pd["b"]))
     edges = []
     for a, b in zip(cand_pd["a"], cand_pd["b"]):
         sa = set(word_ngrams(_WS.split(texts[a].lower().strip()), 3))
         sb = set(word_ngrams(_WS.split(texts[b].lower().strip()), 3))
         if jaccard(sa, sb) >= jaccard_threshold:
             edges.append((str(a), str(b)))
-    groups = union_find_components(edges, [str(d) for d in texts])
-    return _dedup_census(groups, [str(d) for d in texts])
+    all_ids = _all_doc_ids(sf_dir)
+    groups = union_find_components(edges, [str(d) for d in all_ids])
+    return _dedup_census(groups, [str(d) for d in all_ids])
 
 
 def simhash_dedup_docs(sf_dir: str, max_hamming: int = 6):
@@ -396,12 +420,13 @@ def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
         .to_pandas()
         .drop_duplicates()
     )
-    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    texts = _candidate_texts(sf_dir, set(cand["a"]) | set(cand["b"]))
     edges = []
     for a, b in zip(cand["a"], cand["b"]):
         sa = set(word_ngrams(_WS.split(texts[a].lower().strip()), n))
         sb = set(word_ngrams(_WS.split(texts[b].lower().strip()), n))
         if jaccard(sa, sb) >= threshold:
             edges.append((str(a), str(b)))
-    groups = union_find_components(edges, [str(d) for d in texts])
-    return _dedup_census(groups, [str(d) for d in texts])
+    all_ids = _all_doc_ids(sf_dir)
+    groups = union_find_components(edges, [str(d) for d in all_ids])
+    return _dedup_census(groups, [str(d) for d in all_ids])
