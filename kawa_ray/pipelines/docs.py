@@ -430,3 +430,95 @@ def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
     all_ids = _all_doc_ids(sf_dir)
     groups = union_find_components(edges, [str(d) for d in all_ids])
     return _dedup_census(groups, [str(d) for d in all_ids])
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic train/test split assignment (hash-free modulo so the
+    oracle is SQL-expressible) + per (lang, split) census — the
+    train-corpus partitioning shape."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        split = pc.if_else(
+            pc.equal(pc.cast(pc.bit_wise_and(t.column("doc_id"), 7), pa.int64()), 0),
+            pa.scalar("test"), pa.scalar("train"),
+        )
+        tt = pa.table({"lang": t.column("lang"), "split": split,
+                       "n": pa.array([1] * t.num_rows, pa.int64())})
+        return tt.group_by(["lang", "split"]).aggregate([("n", "sum")]).rename_columns(
+            ["lang", "split", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+DOCS_SPLIT_SQL = """
+SELECT lang,
+       CASE WHEN doc_id % 8 = 0 THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+def docs_sample_stats(sf_dir: str, modulo: int = 20):
+    """Deterministic 1/20 sample (doc_id % 20 = 0) + token stats over the
+    sample — the bounded-sample pattern used for profiling a 100 TB
+    corpus without reading it all (sampling predicate pushes into the
+    scan via an expression filter)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # vectorised modulo mask (Ray's expr filter can't parse `x % k`)
+        mask = pc.equal(
+            pc.subtract(t.column("doc_id"),
+                        pc.multiply(pc.divide(t.column("doc_id"), modulo), modulo)),
+            0,
+        )
+        return t.filter(mask)
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.list_value_length(pc.split_pattern_regex(t.column("text"), r"\s+"))
+        tt = pa.table({"lang": t.column("lang"),
+                       "tok": pc.cast(toks, pa.int64()),
+                       "n": pa.array([1] * t.num_rows, pa.int64())})
+        return tt.group_by("lang").aggregate([("tok", "sum"), ("n", "sum")]).rename_columns(
+            ["lang", "tok_sum", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("tok_sum", alias_name="tok_sum"), Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["avg_tokens"] = (out["tok_sum"] / out["n_docs"]).round(4)
+    return out[["lang", "n_docs", "avg_tokens"]].sort_values("lang").reset_index(drop=True)
+
+
+DOCS_SAMPLE_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(regexp_split_to_array(text, '\s+'))), 4) AS avg_tokens
+FROM documents
+WHERE doc_id % 20 = 0
+GROUP BY lang
+ORDER BY lang
+"""

@@ -41,6 +41,8 @@ QUERIES = {
     "minhash_dedup_docs": docs.minhash_dedup_docs,
     "simhash_dedup_docs": docs.simhash_dedup_docs,
     "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
+    "docs_split_assign": docs.docs_split_assign,
+    "docs_sample_stats": docs.docs_sample_stats,
     # similarity search over embeddings
     "ann_topk": vectors.ann_topk,
     "ann_lsh_topk": vectors.ann_lsh_topk,
@@ -81,6 +83,8 @@ ORACLE_SQL = {
     "doc_fingerprints": docs.DOC_FINGERPRINTS_SQL,
     "exact_dedup_docs": docs.EXACT_DEDUP_SQL,
     "punctuation_stats": docs.PUNCT_STATS_SQL,
+    "docs_split_assign": docs.DOCS_SPLIT_SQL,
+    "docs_sample_stats": docs.DOCS_SAMPLE_SQL,
     "ann_topk": vectors.ANN_TOPK_SQL,
     "embedding_label_stats": vectors.EMBEDDING_LABEL_STATS_SQL,
     "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,

@@ -194,6 +194,19 @@ class PageGenerator:
             if hp % 4 == 0:
                 html_parts.append("<script>var x = %d; track(x);</script>" % (hp % 100))
 
+        # ~20% of pages carry a contact block with regex-typed PII spans so
+        # the B14 extractors fire end-to-end (labels are non-linkable: they
+        # surface as mentions but never enter the pair space)
+        hc = _h(SEED, "contact", doc_id)
+        if hc % 5 == 0:
+            email = f"user{hc % 1000}@site{site_id:04d}.example"
+            phone = f"+1 555-{100 + hc % 900}-{1000 + (hc >> 8) % 9000}"
+            ip = f"10.{hc % 256}.{(hc >> 8) % 256}.{1 + (hc >> 16) % 254}"
+            price = f"${1 + hc % 999}.{hc % 100:02d}"
+            contact = f"contact {email} call {phone} host {ip} fee {price}"
+            text_blocks.append(contact)
+            html_parts.append(f"<p>{_html.escape(contact)}</p>")
+
         html_parts.append(f"<footer>© site{site_id:04d} example</footer></body></html>")
         html = "".join(html_parts).encode("utf-8")
         text = "\n\n".join(text_blocks)
@@ -243,7 +256,7 @@ def generate_pages(n_pages: int, n_entities: int = 300,
 
 SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000, "1.6": 800000}
 CACHE_DIR = os.environ.get("KAWA_PAGES_DIR", "/tmp/kawa_ray_pages")
-_GEN_VERSION = "v1"  # bump when generator output changes
+_GEN_VERSION = "v2"  # bump when generator output changes
 
 
 def sf_of_dir(sf_dir: str) -> str:

@@ -96,3 +96,14 @@ def test_pair_paths_agree(ray_session):
     d_pairs = {(r["a"], r["b"]) for r in driver.take_all()}
     x_pairs = {(r["a"], r["b"]) for r in dist.take_all()}
     assert d_pairs == x_pairs and len(d_pairs) > 0
+
+
+def test_regex_ner_fires_on_corpus(ray_session):
+    """Corpus v2 embeds PII spans in ~20% of pages; the B14 regex
+    extractors must surface them as (non-linkable) mentions."""
+    from kawa_ray.pipelines.er_queries import er_mention_stats
+
+    stats = er_mention_stats("/root/testdata/sf0.001")
+    labels = set(stats["label"])
+    for lab in ("EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS", "PRICE"):
+        assert lab in labels, lab
