@@ -24,6 +24,7 @@ QUERIES = {
     "hourly_event_counts": relational.hourly_event_counts,
     "top_users_by_value": relational.top_users_by_value,
     "events_dedup_first": relational.events_dedup_first,
+    "user_sessions": relational.user_sessions,
     # builder-ETL dataflow shapes (SURVEY.md §2.2 B2/B3/B5/B7/B11)
     "suppliers_per_nation": builder.suppliers_per_nation,
     "majority_event_type": builder.majority_event_type,
@@ -74,6 +75,7 @@ ORACLE_SQL = {
     "hourly_event_counts": relational.HOURLY_EVENTS_SQL,
     "top_users_by_value": relational.TOP_USERS_SQL,
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
+    "user_sessions": relational.USER_SESSIONS_SQL,
     "suppliers_per_nation": builder.SUPPLIERS_PER_NATION_SQL,
     "majority_event_type": builder.MAJORITY_EVENT_TYPE_SQL,
     "top_type_tokens": builder.TOP_TYPE_TOKENS_SQL,

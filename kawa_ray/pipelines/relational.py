@@ -339,3 +339,47 @@ FROM (
 ) WHERE rn = 1
 ORDER BY user_id, event_type
 """
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionisation: per-user event stream split where the
+    inter-event gap exceeds ``gap_minutes`` — the windowed-aggregate shape
+    (no window op in the reference, composed here as
+    groupby(user).map_groups over time-sorted rows; the oracle uses SQL
+    LAG/SUM windows)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        session_id = (gaps > gap_minutes * 60).cumsum()
+        counts = session_id.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(session_id.nunique())],
+                "max_session_events": [int(counts.max())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM o
+), c AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+FROM c GROUP BY user_id ORDER BY user_id
+"""
