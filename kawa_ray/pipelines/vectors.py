@@ -174,42 +174,48 @@ ORDER BY label, a, b
 """
 
 
-def ann_lsh_topk(sf_dir: str, n_planes: int = 12):
-    """LSH-bucketed ANN (random-hyperplane signatures): candidate buckets
-    per query, exact re-rank inside the union of matching buckets — the
-    scale path for similarity search (rows-only; recall-checked in tests
-    against brute force)."""
+def ann_lsh_topk(sf_dir: str, n_tables: int = 24, planes_per_table: int = 6):
+    """Multi-table random-hyperplane LSH ANN: ``n_tables`` independent
+    signatures of ``planes_per_table`` bits; a vector is a candidate for a
+    query when ANY table\'s signature matches exactly (the standard
+    amplification construction — a single long signature has vanishing
+    collision probability for mid-cosine neighbours).  Exact re-rank over
+    the candidate union; recall gated vs brute force in
+    tests/test_vectors_extra.py."""
     qids, Q = _query_matrix(sf_dir)
     qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     rng = np.random.default_rng(42)
     dim = Q.shape[1]
-    planes = rng.standard_normal((n_planes, dim))
-    q_sigs = [(int(qid), int("".join("1" if x > 0 else "0" for x in planes @ q), 2))
-              for qid, q in zip(qids, qn)]
-    ref = ray.put((q_sigs, planes, qn, qids))
+    planes = rng.standard_normal((n_tables, planes_per_table, dim))
+    pows = (1 << np.arange(planes_per_table)).astype(np.int64)
+
+    def sigs_of(M: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int signatures."""
+        out = np.empty((M.shape[0], planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            bits = (M @ planes[t].T) > 0
+            out[:, t] = bits @ pows
+        return out
+
+    q_sigs = sigs_of(qn)  # (n_q, n_tables)
+    ref = ray.put((qids, qn, planes, q_sigs))
 
     def bucket_candidates(t: pa.Table, _ref=ref) -> pa.Table:
-        q_sigs, planes, qn, qids = ray.get(_ref)
+        qids, qn, planes_, q_sigs = ray.get(_ref)
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
         Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
-        sigs = (Mn @ planes.T) > 0
-        sig_ints = np.zeros(len(ids), dtype=np.int64)
-        for b in range(planes.shape[0]):
-            sig_ints = (sig_ints << 1) | sigs[:, b].astype(np.int64)
+        sigs = sigs_of(Mn)  # (n, n_tables)
         out_q, out_n, out_s = [], [], []
-        for (qid, qsig), qvec in zip(q_sigs, qn):
-            # candidates: signature within Hamming distance 2 of the query
-            xor = sig_ints ^ qsig
-            pop = np.array([bin(x).count("1") for x in xor])
-            cand = np.where(pop <= 2)[0]
+        for qi, qid in enumerate(qids):
+            cand = np.where((sigs == q_sigs[qi]).any(axis=1))[0]
             if len(cand) == 0:
                 continue
-            sims = Mn[cand] @ qvec
-            for j, s in zip(cand, sims):
-                out_q.append(qid)
+            sims = Mn[cand] @ qn[qi]
+            for j, sct in zip(cand, sims):
+                out_q.append(int(qid))
                 out_n.append(int(ids[j]))
-                out_s.append(float(s))
+                out_s.append(float(sct))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "cosine": pa.array(out_s, pa.float64())})

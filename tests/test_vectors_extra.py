@@ -55,3 +55,16 @@ def test_ngram_jaccard_census_vs_all_pairs(ray_session):
     assert got_dups <= oracle_dups  # no false duplicates (exact verify gate)
     if oracle_dups:
         assert got_dups / oracle_dups >= 0.9, (got_dups, oracle_dups)
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session):
+    from kawa_ray.pipelines.vectors import ann_lsh_topk, ann_topk
+
+    exact = ann_topk(SF_DIR)
+    approx = ann_lsh_topk(SF_DIR)
+    recalls = []
+    for qid in exact["query_id"].unique():
+        want = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls  # LSH trades recall harder
