@@ -138,3 +138,123 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
             break
         labels = new_labels
     return labels
+
+
+def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20):
+    """Broadcast-free distributed connected components (hash-to-min).
+
+    Each round is TWO dataset-only shuffles — no driver-held or broadcast
+    label table, so it holds at graphs whose node space exceeds worker
+    memory (the scale path for S6; the broadcast variant above is the
+    mid-size path, driver union-find the small path — all three proven
+    equivalent in tests):
+
+      1. join labels onto edge endpoints by unioning label rows
+         (node, lbl) with edge rows (node, nbr) and grouping by node —
+         every member of the group inherits the node's current label;
+      2. group the emitted (nbr, candidate_label) rows by nbr taking the
+         min — hash-to-min propagation.
+
+    Convergence check is a tiny aggregate (count of changed labels), not
+    a driver download of the label table.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    edges = edges_ds.select_columns(["a", "b"]).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [batch.column("b").combine_chunks(), batch.column("a").combine_chunks()]
+                ),
+            }
+        )
+
+    adj = edges.map_batches(explode, batch_format="pyarrow").materialize()
+    # initial labels: node -> node (distinct via groupby-min of self rows)
+    labels = (
+        adj.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "lbl": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # 1. tag each adjacency row with its node's current label: union the
+        #    label rows (nbr=None sentinel) with edge rows, group by node
+        lab_rows = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"], "nbr": [None] * len(df), "lbl": df["lbl"]}
+            ),
+            batch_format="pandas",
+        )
+        edge_rows = adj.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"], "nbr": df["nbr"], "lbl": [None] * len(df)}
+            ),
+            batch_format="pandas",
+        )
+
+        def tag(g: pd.DataFrame) -> pd.DataFrame:
+            lbl = g["lbl"].dropna()
+            if lbl.empty:
+                return pd.DataFrame({"nbr": [], "cand": []})
+            lbl = lbl.min()
+            nbrs = g["nbr"].dropna().tolist()
+            # candidates: the node's label flows to every neighbour AND
+            # stays as the node's own candidate (min with itself)
+            node = g["node"].iloc[0]
+            return pd.DataFrame(
+                {"nbr": nbrs + [node], "cand": [lbl] * (len(nbrs) + 1)}
+            )
+
+        cands = (
+            lab_rows.union(edge_rows)
+            .groupby("node")
+            .map_groups(tag, batch_format="pandas")
+        )
+        new_labels = (
+            cands.groupby("nbr")
+            .aggregate(Min("cand", alias_name="lbl"))
+            .map_batches(
+                lambda df: df.rename(columns={"nbr": "node"}), batch_format="pandas"
+            )
+            .materialize()
+        )
+        # convergence: count nodes whose label changed (tiny aggregate via
+        # the same union-group trick, no driver download)
+        old_rows = labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "old": df["lbl"], "new": [None] * len(df)}),
+            batch_format="pandas",
+        )
+        new_rows = new_labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "old": [None] * len(df), "new": df["lbl"]}),
+            batch_format="pandas",
+        )
+
+        def changed(g: pd.DataFrame) -> pd.DataFrame:
+            old = g["old"].dropna()
+            new = g["new"].dropna()
+            ch = int(old.empty or new.empty or old.iloc[0] != new.iloc[0])
+            return pd.DataFrame({"changed": [ch]})
+
+        n_changed = (
+            old_rows.union(new_rows)
+            .groupby("node")
+            .map_groups(changed, batch_format="pandas")
+            .aggregate(Sum("changed"))["sum(changed)"]
+        )
+        labels = new_labels
+        if not n_changed:
+            break
+    return labels

@@ -107,3 +107,23 @@ def test_regex_ner_fires_on_corpus(ray_session):
     labels = set(stats["label"])
     for lab in ("EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS", "PRICE"):
         assert lab in labels, lab
+
+
+def test_bucketed_label_propagation_matches_union_find(ray_session):
+    """The broadcast-free CC path must produce the same components as
+    driver union-find on a multi-component graph."""
+    import ray.data as rd
+
+    from kawa_ray.stages.clustering import (
+        label_propagation_components_bucketed,
+        union_find_components,
+    )
+
+    edges = [("b", "c"), ("a", "b"), ("e", "f"), ("x", "y"), ("y", "z"), ("c", "d")]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation_components_bucketed(ds).take_all()
+    }
+    want = union_find_components(edges)
+    assert got == want
