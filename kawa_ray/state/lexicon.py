@@ -314,6 +314,7 @@ class LexiconIndex:
         check_caps: bool = True,
         label2label: dict[str, str] | None = None,
         tag_type: frozenset[str] | None = None,
+        collapse_consecutive: bool = False,
     ) -> list[tuple[str, int, int, str]]:
         """Greedy longest-first mention detection over whitespace tokens.
 
@@ -378,6 +379,19 @@ class LexiconIndex:
                             break
             _ = matched
             pos += len(sent[i]) + 1
+        if collapse_consecutive and len(out) > 1:
+            # merge adjacent same-label spans separated by one space
+            # (reference collapse_consecutive_ner, ontology_manager.py:738-754)
+            merged = [out[0]]
+            for surface, start, end, label in out[1:]:
+                p_surface, p_start, p_end, p_label = merged[-1]
+                if label == p_label and start == p_end + 1:
+                    merged[-1] = (
+                        p_surface + self.connector + surface, p_start, end, label
+                    )
+                else:
+                    merged.append((surface, start, end, label))
+            out = merged
         return out
 
     # ------------------------------------------------------------ serialise

@@ -121,3 +121,19 @@ class TestSerialise:
     def test_bytes_roundtrip(self, lex):
         lx = LexiconIndex.from_bytes(lex.to_bytes())
         assert lx.lookup("John Smith")[1] == "PERSON"
+
+
+def test_collapse_consecutive_spans():
+    """Adjacent same-label spans merge into one compound mention
+    (reference collapse_consecutive_ner, ontology_manager.py:738-754)."""
+    from kawa_ray.state.lexicon import LexiconIndex
+
+    lex = LexiconIndex.build(
+        [["acme", "ORG", 0.0, None], ["global", "ORG", 0.0, None],
+         ["paris", "GPE", 0.0, None]]
+    )
+    text = "meet Acme Global in Paris"
+    plain = lex.detect(text, check_caps=False)
+    collapsed = lex.detect(text, check_caps=False, collapse_consecutive=True)
+    assert [m[3] for m in plain] == ["ORG", "ORG", "GPE"]
+    assert [(m[0], m[3]) for m in collapsed] == [("Acme_Global", "ORG"), ("Paris", "GPE")]
