@@ -394,6 +394,24 @@ class LexiconIndex:
             out = merged
         return out
 
+    def tokenize(self, text: str, lang: str | None = None,
+                 **detect_kwargs) -> dict:
+        """Reference ``tokenize`` (ontology_manager.py:758-779): run
+        ``detect`` and splice the compound-joined surfaces back into the
+        text by offsets.  Returns ``{"text": retokenised, "mentions":
+        [(surface, start, end, label), ...]}`` — the dict-of-spans
+        ``chunk2ner`` lifted to ordered tuples."""
+        mentions = self.detect(text, lang=lang, **detect_kwargs)
+        if cjk_detect(text):
+            text = cjk_segment_text(text)
+        # splice by span positions: detect emits offsets into the
+        # re-joined token stream (compound joins preserve length)
+        chars = list(" ".join(text.strip().split()))
+        for surface, start, end, _label in mentions:
+            chars[start:end] = list(surface)
+        out_text = "".join(chars)
+        return {"text": out_text, "mentions": mentions}
+
     # ------------------------------------------------------------ serialise
 
     def save(self, path: str) -> None:

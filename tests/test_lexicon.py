@@ -137,3 +137,12 @@ def test_collapse_consecutive_spans():
     collapsed = lex.detect(text, check_caps=False, collapse_consecutive=True)
     assert [m[3] for m in plain] == ["ORG", "ORG", "GPE"]
     assert [(m[0], m[3]) for m in collapsed] == [("Acme_Global", "ORG"), ("Paris", "GPE")]
+
+
+def test_tokenize_splices_compounds():
+    from kawa_ray.state.lexicon import LexiconIndex
+
+    lex = LexiconIndex.build([["new_york", "GPE", 0.0, None]])
+    res = lex.tokenize("visit New York today", check_caps=False)
+    assert res["text"] == "visit New_York today"
+    assert [(m[0], m[3]) for m in res["mentions"]] == [("New_York", "GPE")]
