@@ -154,3 +154,55 @@ def er_lexicon_build(sf_dir: str):
         }
     )
     return pd.DataFrame(rows)
+
+
+def er_word2ner_stats(sf_dir: str):
+    """Per-label weighted counts over the word2ner exchange table
+    (reference get_word2ner_stats, ontology_manager.py:296-327): weight =
+    w + 1/(1+sqrt(len)) x label factor, summed per label via per-batch
+    partials + one tiny groupby."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from kawa_ray.config import LABEL_WEIGHT_FACTORS
+    from kawa_ray.sources.roster import build_roster, roster_word2ner
+
+    rows = list(roster_word2ner(build_roster(300)))
+    tbl = pa.table(
+        {
+            "word": [r[0] for r in rows],
+            "label": [r[1] for r in rows],
+            "w": [float(r[2]) if len(r) > 2 and r[2] else 0.0 for r in rows],
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"label": [], "weight": [], "n": []}
+        agg: dict[str, tuple[float, int]] = {}
+        for word, label, w in zip(
+            t.column("word").to_pylist(), t.column("label").to_pylist(),
+            t.column("w").to_pylist(),
+        ):
+            lens = len(word) + len(word.split("_"))
+            wt = (w or 1.0) + 1.0 / (1.0 + math.sqrt(lens))
+            wt *= LABEL_WEIGHT_FACTORS.get(label, 1.0)
+            s, n = agg.get(label, (0.0, 0))
+            agg[label] = (s + wt, n + 1)
+        for label, (s, n) in agg.items():
+            out["label"].append(label)
+            out["weight"].append(s)
+            out["n"].append(n)
+        return pa.Table.from_pydict(out)
+
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("weight", alias_name="weight"), Sum("n", alias_name="n_words"))
+        .to_pandas()
+    )
+    out["weight"] = out["weight"].round(4)
+    return out.sort_values("label").reset_index(drop=True)

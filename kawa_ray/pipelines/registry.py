@@ -10,6 +10,7 @@ their correctness instruments are the pytest suites.
 from __future__ import annotations
 
 from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors
+from kawa_ray.sources.edges_csv import synonym_clusters
 
 QUERIES = {
     # relational operator parity (SURVEY.md §2.2/§2.6 mappings)
@@ -31,6 +32,7 @@ QUERIES = {
     "top_type_tokens": builder.top_type_tokens,
     "user_components": builder.user_components,
     "expand_user_set": builder.expand_user_set,
+    "synonym_clusters_csv": synonym_clusters,
     # text analysis / dedup over documents
     "docs_per_lang": docs.docs_per_lang,
     "token_count_stats": docs.token_count_stats,
@@ -61,6 +63,7 @@ QUERIES = {
     "er_eval": er_queries.er_eval,
     "er_clusters_resumable": er_queries.er_clusters_resumable,
     "er_lexicon_build": er_queries.er_lexicon_build,
+    "er_word2ner_stats": er_queries.er_word2ner_stats,
 }
 
 ORACLE_SQL = {
