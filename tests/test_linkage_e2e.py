@@ -127,3 +127,22 @@ def test_bucketed_label_propagation_matches_union_find(ray_session):
     }
     want = union_find_components(edges)
     assert got == want
+
+
+def test_clusters_invariant_to_batching(ray_session):
+    """Cluster assignments must be identical across batch sizes /
+    concurrency (the sandbox proxy for different cluster sizes —
+    SURVEY.md §5.5 determinism requirement)."""
+    from dataclasses import replace
+
+    from kawa_ray.config import LinkageConfig
+    from kawa_ray.pipelines.linkage import link_pages
+    from kawa_ray.sources.pages import ensure_pages
+
+    pages_dir = ensure_pages("0.001")
+    a = link_pages(pages_dir, replace(LinkageConfig(), detect_batch_size=64,
+                                      detect_concurrency=2))
+    b = link_pages(pages_dir, replace(LinkageConfig(), detect_batch_size=512,
+                                      detect_concurrency=3))
+    assert a["norm2cluster"] == b["norm2cluster"]
+    assert a["n_pairs"] == b["n_pairs"]
