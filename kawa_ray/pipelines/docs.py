@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Sum
 from kawa_ray.functions.minhash import (
     char_shingles,
     hamming64,
+    hash64,
     jaccard,
     lsh_band_keys,
     minhash_signature,
@@ -265,6 +266,76 @@ def _dedup_census(groups: dict[str, str], ids: list[str]) -> pd.DataFrame:
 
 
 
+
+def _partitioned_band_pairs(banded, key_col: str, max_members: int,
+                            partitions: int | None = None,
+                            sim_col: str | None = None,
+                            max_hamming: int = 0) -> pd.DataFrame:
+    """Candidate pairs from banded rows via hash-partitioned grouping:
+    shuffle on hash(key) % P, then one numpy segment split per partition
+    (groupby(key).map_groups paid ~1.5ms dispatch per group — mostly
+    singleton bands, so dispatch dominated the stage).  With ``sim_col``
+    set, pairs within a segment are Hamming-gated (SimHash verify)."""
+    import numpy as np
+
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    P = partitions or 2 * cpus
+
+    def addpart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = [hash64(str(k)) % P for k in df[key_col]]
+        return df
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[key_col].to_numpy(), kind="stable")
+        keys = g[key_col].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        sims = g[sim_col].to_numpy()[order] if sim_col else None
+        out_a: list[int] = []
+        out_b: list[int] = []
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        for i, j in zip(starts, ends):
+            if sim_col is None:
+                mem = sorted(set(ids[i:j].tolist()))
+                if len(mem) < 2 or len(mem) > max_members:
+                    continue
+                for x in range(len(mem) - 1):
+                    for y in range(x + 1, len(mem)):
+                        out_a.append(mem[x])
+                        out_b.append(mem[y])
+            else:
+                rows = list({int(d): int(sv) for d, sv in
+                             zip(ids[i:j], sims[i:j])}.items())
+                if len(rows) < 2:
+                    continue
+                for x in range(len(rows) - 1):
+                    if len(out_a) > max_members:
+                        break
+                    for y in range(x + 1, len(rows)):
+                        ha = rows[x][1] + (1 << 63)
+                        hb = rows[y][1] + (1 << 63)
+                        if hamming64(ha, hb) <= max_hamming:
+                            aa, bb = sorted((rows[x][0], rows[y][0]))
+                            out_a.append(aa)
+                            out_b.append(bb)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return (
+        banded.map_batches(addpart, batch_format="pandas")
+        .groupby("part")
+        .map_groups(explode, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+
 def _candidate_texts(sf_dir: str, ids: set) -> dict:
     """Fetch ONLY the candidate docs' texts (broadcast id-set filter +
     small take_all): the verify step needs the pair endpoints, never the
@@ -311,16 +382,7 @@ def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                          "band": pa.array(out_band, pa.string())})
 
     banded = ds.map_batches(sig, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2 or len(ids) > 200:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids) - 1) for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"a": list(a), "b": list(b)})
-
-    cand = banded.groupby("band").map_groups(pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas().drop_duplicates()
+    cand_pd = _partitioned_band_pairs(banded, "band", max_members=200)
 
     # verify candidates with true Jaccard over word 3-grams, fetching only
     # the candidate endpoints' texts
@@ -356,24 +418,8 @@ def simhash_dedup_docs(sf_dir: str, max_hamming: int = 6):
                          "sim": pa.array([x - (1 << 63) for x in out_h], pa.int64())})
 
     banded = ds.map_batches(sig, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = list(dict(zip(g["doc_id"], g["sim"])).items())
-        out_a, out_b = [], []
-        for i in range(len(rows) - 1):
-            if len(out_a) > 5000:
-                break
-            for j in range(i + 1, len(rows)):
-                ha = int(rows[i][1]) + (1 << 63)
-                hb = int(rows[j][1]) + (1 << 63)
-                if hamming64(ha, hb) <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
-
-    cand = banded.groupby("band").map_groups(pairs, batch_format="pandas").to_pandas()
-    cand = cand.drop_duplicates()
+    cand = _partitioned_band_pairs(banded, "band", max_members=5000,
+                                   sim_col="sim", max_hamming=max_hamming)
     edges = [(str(a), str(b)) for a, b in zip(cand["a"], cand["b"])]
     ids = [str(r["doc_id"]) for r in _read_docs(sf_dir, ["doc_id"]).take_all()]
     groups = union_find_components(edges, ids)
@@ -406,19 +452,8 @@ def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
         return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
                          "key": pa.array(out_key, pa.uint64())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2 or len(ids) > 500:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids) - 1) for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"a": list(a), "b": list(b)})
-
-    cand = (
-        ds.map_batches(keys, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    cand = _partitioned_band_pairs(
+        ds.map_batches(keys, batch_format="pyarrow"), "key", max_members=500
     )
     texts = _candidate_texts(sf_dir, set(cand["a"]) | set(cand["b"]))
     edges = []
