@@ -47,8 +47,17 @@ from kawa_ray.state.checkpoint import (
 )
 
 
-def config_fingerprint(cfg: LinkageConfig, n_entities: int) -> str:
-    raw = json.dumps({"cfg": sorted(cfg.__dict__.items()), "n_entities": n_entities})
+def config_fingerprint(cfg: LinkageConfig, n_entities: int,
+                       pages_dir: str = "") -> str:
+    """Covers config AND input identity: a regenerated corpus (different
+    directory / generator version) must invalidate checkpointed parts."""
+    raw = json.dumps(
+        {
+            "cfg": sorted(cfg.__dict__.items()),
+            "n_entities": n_entities,
+            "input": os.path.basename(os.path.normpath(pages_dir)) if pages_dir else "",
+        }
+    )
     return hashlib.blake2b(raw.encode(), digest_size=8).hexdigest()
 
 
@@ -141,7 +150,7 @@ def link_pages_checkpointed(pages_dir: str, out_root: str,
     from kawa_ray.pipelines.linkage import _pool_size, default_artifacts
 
     cfg = cfg or LinkageConfig()
-    fp = config_fingerprint(cfg, n_entities)
+    fp = config_fingerprint(cfg, n_entities, pages_dir)
     lexicon, embed_obj = default_artifacts(n_entities)
     shards = sorted(glob.glob(os.path.join(pages_dir, "pages", "part-*.parquet")))
 
