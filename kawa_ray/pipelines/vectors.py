@@ -135,10 +135,7 @@ FROM embeddings GROUP BY label ORDER BY label
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
     """Embedding-cosine near-duplicate pairs within a label partition —
     blocked brute force (label = blocking key), SQL-oracled."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ds = rd.from_arrow(t)
+    ds = _read_emb(sf_dir)  # distributed read; label groups stay on workers
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(g["vec_id"], dtype=np.int64)
