@@ -206,3 +206,67 @@ def er_word2ner_stats(sf_dir: str):
     )
     out["weight"] = out["weight"].round(4)
     return out.sort_values("label").reset_index(drop=True)
+
+
+def er_mention_eval(sf_dir: str):
+    """Mention-level per-language eval — the reference's own harness
+    (eval.py:90-121,128-254): set-based TP/FN/FP of predicted vs gold
+    entity strings per document (type deliberately relaxed, eval.py:177-181),
+    accumulated per language with P/R/F1.  Pure Ray: per-doc compare in
+    map_batches against broadcast gold sets, per-lang sums in one groupby."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # "filter to relevant tags" exactly like the reference's
+    # predict_with_ontology (eval.py:76-88): the gold roster labels only
+    ROSTER_LABELS = frozenset(
+        {"PERSON", "PUBLIC_FIGURE", "ORG", "GPE", "LOC", "PRODUCT"}
+    )
+
+    sf = sf_of_dir(sf_dir)
+    pages_dir = ensure_pages(sf)
+    _, res = _linked(sf_dir)
+
+    gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"),
+                         columns=["url", "norm"])
+    gold_sets: dict[str, set] = {}
+    for url, norm in zip(gold.column("url").to_pylist(), gold.column("norm").to_pylist()):
+        gold_sets.setdefault(url, set()).add(norm)
+    gold_ref = ray.put(gold_sets)
+
+    def compare(t: pa.Table, _ref=gold_ref) -> pa.Table:
+        gs = ray.get(_ref)
+        per_doc: dict[str, tuple[str, set]] = {}
+        for url, norm, label, lang in zip(
+            t.column("url").to_pylist(), t.column("norm").to_pylist(),
+            t.column("label").to_pylist(), t.column("lang").to_pylist(),
+        ):
+            if label not in ROSTER_LABELS:
+                continue  # relevant-tag filter (eval.py:76-88)
+            per_doc.setdefault(url, (lang, set()))[1].add(norm)
+        out = {"lang": [], "tp": [], "fp": [], "fn": []}
+        for url, (lang, pred) in per_doc.items():
+            want = gs.get(url, set())
+            out["lang"].append(lang)
+            out["tp"].append(len(pred & want))
+            out["fp"].append(len(pred - want))
+            out["fn"].append(len(want - pred))
+        return pa.Table.from_pydict(out)
+
+    agg = (
+        res["mentions"]
+        .map_batches(compare, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+                   Sum("fn", alias_name="fn"))
+        .to_pandas()
+    )
+    agg["precision"] = (agg["tp"] / (agg["tp"] + agg["fp"]).clip(lower=1)).round(4)
+    agg["recall"] = (agg["tp"] / (agg["tp"] + agg["fn"]).clip(lower=1)).round(4)
+    agg["f1"] = (
+        2 * agg["precision"] * agg["recall"]
+        / (agg["precision"] + agg["recall"]).clip(lower=1e-9)
+    ).round(4)
+    return agg.sort_values("lang").reset_index(drop=True)

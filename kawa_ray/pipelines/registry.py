@@ -64,6 +64,7 @@ QUERIES = {
     "er_clusters_resumable": er_queries.er_clusters_resumable,
     "er_lexicon_build": er_queries.er_lexicon_build,
     "er_word2ner_stats": er_queries.er_word2ner_stats,
+    "er_mention_eval": er_queries.er_mention_eval,
 }
 
 ORACLE_SQL = {
