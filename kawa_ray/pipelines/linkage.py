@@ -60,16 +60,22 @@ def read_pages(pages_dir: str) -> rd.Dataset:
 
 
 def detect_mentions(pages_ds: rd.Dataset, cfg: LinkageConfig | None = None,
-                    lexicon: LexiconIndex | None = None) -> rd.Dataset:
-    """S1+S2: pages -> mentions Dataset."""
+                    lexicon: LexiconIndex | None = None,
+                    n_entities: int = 300) -> rd.Dataset:
+    """S1+S2: pages -> mentions Dataset.  Detection actors carry the
+    per-language exact lexicons (reference {lang}.json resources) as the
+    highest-precedence lookup layer."""
+    from kawa_ray.state.lang_resources import target_lexicons_by_lang
+
     cfg = cfg or LinkageConfig()
     if lexicon is None:
-        lexicon, _ = default_artifacts()
+        lexicon, _ = default_artifacts(n_entities)
     lex_ref = ray.put(lexicon.to_bytes())
     texts = extract_stage(pages_ds)
     return mention_stage(
         texts, lex_ref, batch_size=cfg.detect_batch_size,
         concurrency=_pool_size(cfg.detect_concurrency),
+        lang_lexicons=target_lexicons_by_lang(n_entities),
     )
 
 
@@ -216,7 +222,7 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     cfg = cfg or LinkageConfig()
     lexicon, embed_obj = default_artifacts(n_entities)
     pages = read_pages(pages_dir)
-    mentions = detect_mentions(pages, cfg, lexicon).materialize()
+    mentions = detect_mentions(pages, cfg, lexicon, n_entities).materialize()
     nodes = build_nodes(mentions).materialize()
     if nodes.count() <= cfg.driver_pair_threshold:
         # the whole post-mention graph phase lives in the distinct-surface

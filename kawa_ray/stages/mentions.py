@@ -44,7 +44,8 @@ class MentionDetector:
     """Actor-pool callable: lexicon pinned per worker."""
 
     def __init__(self, lexicon_ref=None, lexicon_path: str | None = None,
-                 with_regex_ner: bool = True):
+                 with_regex_ner: bool = True,
+                 lang_lexicons: dict[str, dict] | None = None):
         if lexicon_ref is not None:
             import ray
 
@@ -55,6 +56,10 @@ class MentionDetector:
         else:
             raise ValueError("need lexicon_ref or lexicon_path")
         self.with_regex_ner = with_regex_ner
+        # per-language exact lexicons (reference per-lang {lang}.json files
+        # loaded into the target-language lookup layer,
+        # ontology_manager.py:140-144,571-582)
+        self.lang_lexicons = lang_lexicons or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -63,7 +68,10 @@ class MentionDetector:
         out = {k: [] for k in ("url", "mention_id", "surface", "norm", "start", "end", "label", "lang")}
         for url, text, lang in zip(urls, texts, langs):
             occ: dict[str, int] = {}
-            dets = self.lexicon.detect(text, lang=lang)
+            dets = self.lexicon.detect(
+                text, lang=lang,
+                target_lexicon=self.lang_lexicons.get(lang),
+            )
             if self.with_regex_ner:
                 dets = dets + regex_mentions(text)
             for surface, start, end, label in dets:
@@ -82,11 +90,14 @@ class MentionDetector:
 
 
 def mention_stage(ds, lexicon_ref, batch_size: int = 256, concurrency: int = 4,
-                  with_regex_ner: bool = True):
+                  with_regex_ner: bool = True,
+                  lang_lexicons: dict[str, dict] | None = None):
     """Attach S2 to a (url, text, lang) Dataset as an actor pool."""
     return ds.map_batches(
         MentionDetector,
-        fn_constructor_kwargs={"lexicon_ref": lexicon_ref, "with_regex_ner": with_regex_ner},
+        fn_constructor_kwargs={"lexicon_ref": lexicon_ref,
+                               "with_regex_ner": with_regex_ner,
+                               "lang_lexicons": lang_lexicons},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

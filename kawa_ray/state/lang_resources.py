@@ -66,6 +66,7 @@ def build_lang_resources(n_entities: int = 300) -> dict[str, dict]:
             res = by_lang.setdefault(
                 lang,
                 {"FIRST_NAME": [], "LAST_NAME": [], "PERSON_NAME": [],
+                 "NAME2LABEL": {},
                  "binary_gender_swap": BINARY_GENDER_SWAP.get(lang, {}),
                  "en_pronoun2gender": PRONOUN2GENDER.get(lang, {}),
                  "person2title": PERSON_TITLES.get(lang, [])},
@@ -75,6 +76,7 @@ def build_lang_resources(n_entities: int = 300) -> dict[str, dict]:
                 res["FIRST_NAME"].append(parts[0])
                 res["LAST_NAME"].append(parts[-1])
             res["PERSON_NAME"].append(alias)
+            res["NAME2LABEL"][normalize_surface(alias)] = label
     for lang, res in by_lang.items():
         for k in ("FIRST_NAME", "LAST_NAME", "PERSON_NAME"):
             res[k] = sorted(set(res[k]))
@@ -96,9 +98,22 @@ def load_lang_resource(path: str) -> dict:
 def apply_target_lang(lexicon, res: dict, label: str = "PERSON"):
     """Populate the index's target-language exact lexicon from a resource
     (highest-precedence lookup, reference ontology_manager.py:571-582).
+    Uses the resource's true NAME2LABEL when present, else ``label``.
     Mutates and returns the index."""
     tl = dict(lexicon.target_lang_lexicon)
-    for name in res.get("PERSON_NAME", []):
-        tl[normalize_surface(name)] = label
+    n2l = res.get("NAME2LABEL")
+    if n2l:
+        tl.update(n2l)
+    else:
+        for name in res.get("PERSON_NAME", []):
+            tl[normalize_surface(name)] = label
     lexicon.target_lang_lexicon = tl
     return lexicon
+
+
+def target_lexicons_by_lang(n_entities: int = 300) -> dict[str, dict]:
+    """lang -> {norm: label} exact lexicons for the detection actors."""
+    return {
+        lang: dict(res.get("NAME2LABEL", {}))
+        for lang, res in build_lang_resources(n_entities).items()
+    }

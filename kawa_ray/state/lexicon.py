@@ -231,6 +231,7 @@ class LexiconIndex:
         stopwords: frozenset[str] | set[str] = frozenset(),
         check_caps: bool = True,
         suppress_cjk: bool = False,
+        target_lexicon: dict | None = None,
     ) -> tuple[str, str | None]:
         """(canonical word, label|None), most-precise level first
         (reference in_ontology, ontology_manager.py:550-622)."""
@@ -246,8 +247,9 @@ class LexiconIndex:
         lword = cword.lower()
 
         # per-target-language exact lexicon first (ontology_manager.py:571-582)
+        tl = target_lexicon if target_lexicon is not None else self.target_lang_lexicon
         for cand in self._exact_variants(lword, is_cjk):
-            lab = self.target_lang_lexicon.get(cand)
+            lab = tl.get(cand)
             if lab is not None:
                 return word, lab
 
@@ -315,6 +317,7 @@ class LexiconIndex:
         label2label: dict[str, str] | None = None,
         tag_type: frozenset[str] | None = None,
         collapse_consecutive: bool = False,
+        target_lexicon: dict | None = None,
     ) -> list[tuple[str, int, int, str]]:
         """Greedy longest-first mention detection over whitespace tokens.
 
@@ -359,7 +362,8 @@ class LexiconIndex:
                     if word_arr[-1].lower() in sw:
                         continue
                     _, label = self.lookup(
-                        surface, sw, check_caps=check_caps, suppress_cjk=True
+                        surface, sw, check_caps=check_caps, suppress_cjk=True,
+                        target_lexicon=target_lexicon,
                     )
                     if label is None:
                         continue
