@@ -144,7 +144,7 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
     sizes = keyed.groupby("block_key").aggregate(Sum("n_mentions", alias_name="members"))
     hot = {
         r["block_key"]: int(r["members"])
-        for r in sizes.filter(lambda row: row["members"] > cfg.hot_key_threshold).take_all()
+        for r in sizes.filter(expr=f"members > {cfg.hot_key_threshold}").take_all()
     }
 
     def salt(batch: pd.DataFrame, _p=partitions) -> pd.DataFrame:
@@ -208,7 +208,7 @@ def score_pairs(pairs: rd.Dataset, cfg: LinkageConfig,
 def cluster_norms(scored: rd.Dataset, nodes: rd.Dataset, cfg: LinkageConfig) -> dict[str, str]:
     """S6: edges above threshold -> norm -> cluster id (driver union-find;
     edge stream is distinct-surface sized)."""
-    edges = scored.filter(lambda r: r["score"] >= cfg.edge_threshold)
+    edges = scored.filter(expr=f"score >= {cfg.edge_threshold}")
     edge_list = [(r["a"], r["b"]) for r in edges.select_columns(["a", "b"]).take_all()]
     all_norms = [r["norm"] for r in nodes.select_columns(["norm"]).take_all()]
     return union_find_components(edge_list, all_norms)
