@@ -1,0 +1,122 @@
+"""Measure the REFERENCE engine's single-node tagging throughput on the
+same corpus + fixture lexicon our pipeline uses — the apples-to-apples
+baseline for "matches-or-beats the reference's single-node throughput".
+
+Runs /root/reference/ontology read-only (no code copied): the module is
+imported from its own directory with ``transformers`` stubbed (the mt5
+tokenizer is network-gated and only used for CJK segmentation; the stub
+segments per code point, matching our engine's documented deviation).
+The reference's published lexicon artifact is a missing large blob, so
+the lexicon is built from the identical fixture word2ner via the
+reference's own ``add_to_ontology`` — both engines then tag the same
+extracted texts.
+
+Usage:  python bench_reference.py [n_docs]   (default 2000)
+Prints one JSON line: reference docs/sec (single process) vs this
+engine's single-process detect kernel on the same docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+REF_DIR = "/root/reference/ontology"
+
+
+def _stub_transformers():
+    fake = types.ModuleType("transformers")
+
+    class _FakeTok:
+        def tokenize(self, w):
+            return list(w)
+
+    class AutoTokenizer:  # noqa: D401 - mimics the real surface
+        @staticmethod
+        def from_pretrained(*a, **k):
+            return _FakeTok()
+
+    fake.AutoTokenizer = AutoTokenizer
+    sys.modules["transformers"] = fake
+    # other absent deps the reference imports at module level but does not
+    # touch on the tagging path
+    faker_pkg = types.ModuleType("faker")
+    faker_pkg.__path__ = []  # mark as package
+    faker_pkg.Faker = object
+    providers = types.ModuleType("faker.providers")
+    providers.person = types.ModuleType("faker.providers.person")
+    providers.job = types.ModuleType("faker.providers.job")
+    sys.modules["faker"] = faker_pkg
+    sys.modules["faker.providers"] = providers
+    sys.modules["faker.providers.person"] = providers.person
+    sys.modules["faker.providers.job"] = providers.job
+    tqdm_mod = types.ModuleType("tqdm")
+    tqdm_mod.tqdm = lambda x=None, *a, **k: x
+    sys.modules["tqdm"] = tqdm_mod
+    for name in ("datasets", "torch", "nltk", "fsspec"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    if not os.path.isdir(REF_DIR):
+        print(json.dumps({"error": "reference not present"}))
+        return 0
+
+    # identical inputs for both engines
+    from kawa_ray.pipelines.linkage import default_artifacts
+    from kawa_ray.sources.pages import PageGenerator
+    from kawa_ray.sources.roster import build_roster, roster_word2ner
+
+    gen = PageGenerator(300)
+    docs = [gen.render(i)[0] for i in range(n_docs)]
+    texts = [(d["text"], d["lang"]) for d in docs]
+    word2ner = [[w, lab] for w, lab, *_ in roster_word2ner(build_roster(300))]
+
+    # ---- reference engine (read-only import, stubbed mt5) ----
+    _stub_transformers()
+    sys.path.insert(0, REF_DIR)
+    import ontology_manager  # noqa: E402
+
+    om = ontology_manager.OntologyManager(
+        target_lang="", data_dir="/tmp/ref_data", tmp_dir="/tmp/ref_tmp",
+        ontology_file=None, target_lang_data_file=None,
+    )
+    t0 = time.time()
+    om.add_to_ontology(word2ner)
+    ref_build_s = time.time() - t0
+
+    t0 = time.time()
+    ref_mentions = 0
+    for text, _lang in texts:
+        res = om.tokenize(text)
+        ref_mentions += len(res.get("chunk2ner", {}))
+    ref_tag_s = time.time() - t0
+
+    # ---- this engine, same single-process conditions ----
+    lex, _ = default_artifacts(300)
+    t0 = time.time()
+    ours_mentions = 0
+    for text, lang in texts:
+        ours_mentions += len(lex.detect(text, lang=lang))
+    ours_tag_s = time.time() - t0
+
+    out = {
+        "n_docs": n_docs,
+        "reference_docs_per_sec": round(n_docs / ref_tag_s, 1),
+        "ours_docs_per_sec_single_process": round(n_docs / ours_tag_s, 1),
+        "speedup_single_process": round(ref_tag_s / ours_tag_s, 2),
+        "reference_mentions": ref_mentions,
+        "ours_mentions": ours_mentions,
+        "reference_lexicon_build_sec": round(ref_build_s, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
