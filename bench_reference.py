@@ -11,9 +11,15 @@ the lexicon is built from the identical fixture word2ner via the
 reference's own ``add_to_ontology`` — both engines then tag the same
 extracted texts.
 
-Usage:  python bench_reference.py [n_docs]   (default 2000)
-Prints one JSON line: reference docs/sec (single process) vs this
-engine's single-process detect kernel on the same docs.
+Usage:  python bench_reference.py [n_docs]            throughput compare
+        python bench_reference.py --parity [n_docs]   mention-set agreement
+Prints one JSON line.  Parity mode reports micro P/R of our mention sets
+against the reference's on identical docs — differences are dominated by
+(a) the reference emitting bare-digit mentions (its digit-folded exact
+dict accidentally matches number tokens), (b) greedy compound-boundary
+differences, (c) majority-vote level-placement variance; the rebuild is
+judged against its own labeled-pair gold (pairwise F1 gate), not
+bug-for-bug tagger parity (SURVEY.md §7.6).
 """
 
 from __future__ import annotations
@@ -61,7 +67,44 @@ def _stub_transformers():
             sys.modules[name] = types.ModuleType(name)
 
 
+def run_parity(n_docs: int = 500) -> dict:
+    from kawa_ray.pipelines.linkage import default_artifacts
+    from kawa_ray.sources.pages import PageGenerator
+    from kawa_ray.sources.roster import build_roster, normalize_surface, roster_word2ner
+
+    _stub_transformers()
+    sys.path.insert(0, REF_DIR)
+    import ontology_manager  # noqa: E402
+
+    om = ontology_manager.OntologyManager(
+        target_lang="", data_dir="/tmp/ref_data", tmp_dir="/tmp/ref_tmp",
+        ontology_file=None, target_lang_data_file=None,
+    )
+    om.add_to_ontology([[w, lab] for w, lab, *_ in roster_word2ner(build_roster(300))])
+    lex, _ = default_artifacts(300)
+    gen = PageGenerator(300)
+    agree = tot_ref = tot_ours = 0
+    for i in range(n_docs):
+        row, _m = gen.render(i)
+        ref = {normalize_surface(k[0]) for k in om.tokenize(row["text"])["chunk2ner"]}
+        ours = {normalize_surface(sf) for sf, *_ in lex.detect(row["text"], lang=row["lang"])}
+        agree += len(ref & ours)
+        tot_ref += len(ref)
+        tot_ours += len(ours)
+    return {
+        "n_docs": n_docs,
+        "micro_recall_of_reference_mentions": round(agree / max(tot_ref, 1), 4),
+        "micro_precision_vs_reference": round(agree / max(tot_ours, 1), 4),
+        "reference_mentions": tot_ref,
+        "ours_mentions": tot_ours,
+    }
+
+
 def main() -> int:
+    if "--parity" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--parity"]
+        print(json.dumps(run_parity(int(args[0]) if args else 500)))
+        return 0
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     if not os.path.isdir(REF_DIR):
         print(json.dumps({"error": "reference not present"}))
