@@ -26,6 +26,8 @@ QUERIES = {
     "top_users_by_value": relational.top_users_by_value,
     "events_dedup_first": relational.events_dedup_first,
     "user_sessions": relational.user_sessions,
+    "region_revenue": relational.region_revenue,
+    "event_value_quantiles": relational.event_value_quantiles,
     # builder-ETL dataflow shapes (SURVEY.md §2.2 B2/B3/B5/B7/B11)
     "suppliers_per_nation": builder.suppliers_per_nation,
     "majority_event_type": builder.majority_event_type,
@@ -80,6 +82,7 @@ ORACLE_SQL = {
     "top_users_by_value": relational.TOP_USERS_SQL,
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
     "user_sessions": relational.USER_SESSIONS_SQL,
+    "region_revenue": relational.REGION_REVENUE_SQL,
     "suppliers_per_nation": builder.SUPPLIERS_PER_NATION_SQL,
     "majority_event_type": builder.MAJORITY_EVENT_TYPE_SQL,
     "top_type_tokens": builder.TOP_TYPE_TOKENS_SQL,

@@ -383,3 +383,117 @@ WITH o AS (
 SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
 FROM c GROUP BY user_id ORDER BY user_id
 """
+
+
+def region_revenue(sf_dir: str):
+    """4-table broadcast-join chain: region -> nation -> customer ->
+    orders, rolled up to revenue per region (the reference's dict-join
+    cascades, SURVEY.md §2.6 'Joins/lookups', at TPC-H shape).  Small
+    sides (region/nation/customer maps) broadcast once; only orders
+    streams."""
+    import ray
+
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()}
+    nation2region = {
+        r["n_nationkey"]: region[r["n_regionkey"]]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    }
+    cust2nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+    }
+    maps_ref = ray.put((nation2region, cust2nation))
+
+    def partial(t: pa.Table, _ref=maps_ref) -> pa.Table:
+        n2r, c2n = ray.get(_ref)
+        df = t.to_pandas()
+        df["region"] = [n2r.get(c2n.get(c), "UNKNOWN") for c in df["o_custkey"]]
+        g = df.groupby("region", sort=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "count")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("region").reset_index(drop=True)
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name AS region,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(o_orderkey) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region
+"""
+
+
+def event_value_quantiles(sf_dir: str, n_bins: int = 4096):
+    """Approximate per-type quantiles (p50/p90/p99) of event values via a
+    two-pass mergeable histogram: global min/max, then fixed-bin counts
+    summed per batch — the sketch path for quantiles over data too large
+    to sort (rows-only; accuracy gated vs DuckDB quantile_cont in
+    tests/test_quantiles.py)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    mm = ds.groupby("event_type").aggregate(
+        Min("value", alias_name="lo"), Max("value", alias_name="hi")
+    ).to_pandas()
+    bounds = {r["event_type"]: (r["lo"], r["hi"]) for _, r in mm.iterrows()}
+    b_ref = ray.put(bounds)
+
+    def hist(t: pa.Table, _ref=b_ref) -> pa.Table:
+        bd = ray.get(_ref)
+        df = t.to_pandas()
+        out = {"event_type": [], "bin": [], "n": []}
+        for et, g in df.groupby("event_type", sort=False):
+            lo, hi = bd[et]
+            width = max(hi - lo, 1e-12)
+            bins = np.minimum(
+                ((g["value"].to_numpy() - lo) / width * n_bins).astype(np.int64),
+                n_bins - 1,
+            )
+            uniq, counts = np.unique(bins, return_counts=True)
+            out["event_type"] += [et] * len(uniq)
+            out["bin"] += uniq.tolist()
+            out["n"] += counts.tolist()
+        return pa.Table.from_pydict(out)
+
+    agg = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in agg.groupby("event_type"):
+        lo, hi = bounds[et]
+        width = max(hi - lo, 1e-12)
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum()
+        total = int(g["n"].sum())
+        qs = {}
+        for q in (0.5, 0.9, 0.99):
+            target = q * total
+            idx = (cum >= target).idxmax()
+            b = int(g.loc[idx, "bin"])
+            qs[q] = lo + (b + 0.5) / n_bins * width
+        rows.append({"event_type": et, "n": total,
+                     "p50": round(qs[0.5], 2), "p90": round(qs[0.9], 2),
+                     "p99": round(qs[0.99], 2)})
+    import pandas as _pd
+
+    return _pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
