@@ -95,3 +95,25 @@ def test_hash64_stable_and_digitfold(w):
     assert hash64(w) == hash64(w)
     folded = w.translate(TRANNUM)
     assert not any(c.isdigit() and c != "1" for c in folded if c in "0123456789")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_text_total_on_arbitrary_bytes(raw):
+    """S1 must be total: any byte payload (malformed html, truncated
+    tags, invalid UTF-8) yields a string with no live tags, never an
+    exception — a 100 TB crawl contains every kind of garbage."""
+    from kawa_ray.functions.html import extract_text
+
+    out = extract_text(raw)
+    assert isinstance(out, str)
+    assert "<script" not in out.lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_extract_text_deterministic(s):
+    from kawa_ray.functions.html import extract_text
+
+    html = f"<html><body><p>{s}</p></body></html>"
+    assert extract_text(html) == extract_text(html)
