@@ -117,3 +117,18 @@ def test_extract_text_deterministic(s):
 
     html = f"<html><body><p>{s}</p></body></html>"
     assert extract_text(html) == extract_text(html)
+
+
+def test_extract_text_linear_on_pathological_pages():
+    """Regression: quadratic backtracking on repeated unclosed openers
+    (was 35s+ on 340 KB; the cursor scanners must stay sub-second)."""
+    import time
+
+    from kawa_ray.functions.html import extract_text
+
+    for evil in (b"<p>x</p><script >" * 20000,
+                 b"<p junk>" * 50000,
+                 b"<p>a</p><li junk><title>t</title>" * 20000):
+        t0 = time.time()
+        extract_text(evil)
+        assert time.time() - t0 < 2.0
