@@ -28,6 +28,7 @@ QUERIES = {
     "user_sessions": relational.user_sessions,
     "region_revenue": relational.region_revenue,
     "event_value_quantiles": relational.event_value_quantiles,
+    "approx_distinct_users": relational.approx_distinct_users,
     # builder-ETL dataflow shapes (SURVEY.md §2.2 B2/B3/B5/B7/B11)
     "suppliers_per_nation": builder.suppliers_per_nation,
     "majority_event_type": builder.majority_event_type,

@@ -26,3 +26,18 @@ def test_quantile_sketch_accuracy(ray_session):
         bin_w = (w["hi"] - w["lo"]) / 4096
         for q in ("p50", "p90", "p99"):
             assert abs(r[q] - w[q]) <= 2 * bin_w + 0.02, (r["event_type"], q, r[q], w[q])
+
+
+def test_hll_distinct_accuracy(ray_session):
+    from kawa_ray.pipelines.relational import approx_distinct_users
+
+    got = approx_distinct_users(SF)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n
+        FROM read_parquet('{SF}/events.parquet') GROUP BY event_type
+    """).df().set_index("event_type")
+    for _, r in got.iterrows():
+        exact = int(want.loc[r["event_type"], "n"])
+        assert abs(r["approx_users"] - exact) <= max(3, 0.05 * exact), (
+            r["event_type"], r["approx_users"], exact)
