@@ -169,6 +169,14 @@ def run_sharded_stage(shard_paths: list[str], stage: str, out_root: str,
     os.makedirs(stage_dir, exist_ok=True)
     manifest = StageManifest(stage=stage, fingerprint=fingerprint, dir=stage_dir)
     done = manifest.done_pids()
+    # stale parts beyond the current shard range (a previous run with more
+    # shards / different input) would otherwise be globbed into downstream
+    # reads — remove them; in-range non-done parts are safely overwritten
+    for f in os.listdir(stage_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            pid = int(f[5:10])
+            if pid >= len(shard_paths):
+                os.remove(os.path.join(stage_dir, f))
     todo = [
         {"pid": pid, "path": p}
         for pid, p in enumerate(shard_paths)
