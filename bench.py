@@ -84,6 +84,10 @@ def run_bench() -> dict:
             ("suppliers_per_nation", builder.suppliers_per_nation),
             ("majority_event_type", builder.majority_event_type),
             ("media_feature_census", media.media_feature_census),
+            ("user_sessions", relational.user_sessions),
+            ("region_revenue", relational.region_revenue),
+            ("event_value_quantiles", relational.event_value_quantiles),
+            ("approx_distinct_users", relational.approx_distinct_users),
         ):
             t = time.time()
             fn(sf_dir)

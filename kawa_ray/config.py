@@ -8,7 +8,7 @@ Semantics mirror the reference engine (ontocord/kawa):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Characters stripped from word boundaries (reference: default_strip_chars,
 # ontology_manager.py:85).

@@ -22,7 +22,6 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from kawa_ray.functions.minhash import (
-    char_shingles,
     hamming64,
     hash64,
     jaccard,

@@ -29,7 +29,6 @@ import os
 import time
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd

@@ -10,7 +10,6 @@ clusters — the same connected-components family the flagship S6 uses.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import ray.data as rd

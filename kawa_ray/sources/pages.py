@@ -25,7 +25,7 @@ import hashlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from kawa_ray.sources.roster import SEED, build_roster, normalize_surface, DISTRACTORS
+from kawa_ray.sources.roster import SEED, build_roster, normalize_surface
 
 EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z in seconds
 

@@ -21,7 +21,6 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from kawa_ray.config import CONNECTOR
 from kawa_ray.functions.text import canonical_word
 
 EMBED_DIM = 64

@@ -24,7 +24,6 @@ are generated against the same salted keys (SURVEY.md §7.6).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

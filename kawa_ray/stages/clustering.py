@@ -79,7 +79,6 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
     (SURVEY.md §7.5.3).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
 
     edges = edges_ds.select_columns(["a", "b"]).materialize()

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from kawa_ray.functions.minhash import hash64
-from kawa_ray.functions.regex_ner import REGEX_NER, regex_mentions
+from kawa_ray.functions.regex_ner import regex_mentions
 from kawa_ray.sources.roster import normalize_surface
 from kawa_ray.state.lexicon import LexiconIndex
 
