@@ -270,3 +270,50 @@ def er_mention_eval(sf_dir: str):
         / (agg["precision"] + agg["recall"]).clip(lower=1e-9)
     ).round(4)
     return agg.sort_values("lang").reset_index(drop=True)
+
+
+def er_incremental_check(sf_dir: str):
+    """Streaming-shaped linkage: fold the corpus in as two increments and
+    compare against the full rebuild (equivalence holds with caps/salting
+    disabled — the increment-equivalence regime; rows-only check, the
+    equality is also gated in tests/test_incremental.py)."""
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    from kawa_ray.pipelines.incremental import empty_state, link_increment
+    from kawa_ray.pipelines.linkage import link_pages
+
+    sf = sf_of_dir(sf_dir)
+    pages_dir = ensure_pages(sf)
+    cfg = replace(LinkageConfig(), hot_key_threshold=10**9,
+                  max_pairs_per_block=10**9)
+
+    shards = sorted(os.listdir(os.path.join(pages_dir, "pages")))
+    root = tempfile.mkdtemp(prefix="kawa_incr_")
+    try:
+        halves = []
+        for i, grp in enumerate((shards[: len(shards) // 2],
+                                 shards[len(shards) // 2:])):
+            d = os.path.join(root, f"half{i}", )
+            os.makedirs(os.path.join(d, "pages"))
+            for sh in grp:
+                shutil.copy(os.path.join(pages_dir, "pages", sh),
+                            os.path.join(d, "pages", sh))
+            halves.append(d)
+        s = empty_state()
+        rows = []
+        for i, h in enumerate(halves):
+            s = link_increment(s, h, cfg)
+            rows.append({"step": f"increment_{i}", "n_norms": len(s["nodes"]),
+                         "n_clusters": len(set(s["norm2cluster"].values())),
+                         "n_new_pairs": s["n_new_pairs"],
+                         "equals_full_rebuild": None})
+        full = link_pages(pages_dir, cfg)
+        rows.append({"step": "full_rebuild", "n_norms": len(full["norm2cluster"]),
+                     "n_clusters": len(set(full["norm2cluster"].values())),
+                     "n_new_pairs": full["n_pairs"],
+                     "equals_full_rebuild": s["norm2cluster"] == full["norm2cluster"]})
+        return pd.DataFrame(rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

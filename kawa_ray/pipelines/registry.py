@@ -68,6 +68,7 @@ QUERIES = {
     "er_lexicon_build": er_queries.er_lexicon_build,
     "er_word2ner_stats": er_queries.er_word2ner_stats,
     "er_mention_eval": er_queries.er_mention_eval,
+    "er_incremental_check": er_queries.er_incremental_check,
 }
 
 ORACLE_SQL = {
