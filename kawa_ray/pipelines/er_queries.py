@@ -317,3 +317,35 @@ def er_incremental_check(sf_dir: str):
         return pd.DataFrame(rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def er_salting_report(sf_dir: str):
+    """Quantifies the hot-key salting trade (north rule: salting
+    stopword-like surfaces trades cross-salt recall for bounded block
+    size): labeled positive pairs at unsalted vs salted blocking keys,
+    and the share of pair volume the cap+salt spec removes."""
+    from dataclasses import replace
+
+    sf = sf_of_dir(sf_dir)
+    pages_dir = ensure_pages(sf)
+    gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"))
+    cfg = LinkageConfig()
+    unsalted = replace(cfg, hot_key_threshold=10**9)
+    p_salted = gold_labeled_pairs(gold, cfg)
+    p_unsalted = gold_labeled_pairs(gold, unsalted)
+    pos_s = {(a, b) for a, b, _k, same in p_salted if same}
+    pos_u = {(a, b) for a, b, _k, same in p_unsalted if same}
+    return pd.DataFrame(
+        {
+            "labeled_pairs_unsalted": [len(p_unsalted)],
+            "labeled_pairs_salted": [len(p_salted)],
+            "positive_pairs_unsalted": [len(pos_u)],
+            "positive_pairs_salted": [len(pos_s)],
+            "positive_recall_retained": [
+                round(len(pos_s & pos_u) / max(len(pos_u), 1), 4)
+            ],
+            "pair_volume_ratio": [
+                round(len(p_salted) / max(len(p_unsalted), 1), 4)
+            ],
+        }
+    )

@@ -69,6 +69,7 @@ QUERIES = {
     "er_word2ner_stats": er_queries.er_word2ner_stats,
     "er_mention_eval": er_queries.er_mention_eval,
     "er_incremental_check": er_queries.er_incremental_check,
+    "er_salting_report": er_queries.er_salting_report,
 }
 
 ORACLE_SQL = {
