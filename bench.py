@@ -116,7 +116,7 @@ def run_scaling() -> dict:
     cost — the regime the north rule's N-vs-4N-node criterion describes;
     at 50k pages a 32-CPU run is bounded by shuffle constants, not data.
     """
-    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "0.4")
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "1.6")
     sf_dir = f"/root/testdata/sf{scaling_sf}"
 
     def one(ncpu: int) -> dict:
