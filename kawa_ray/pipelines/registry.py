@@ -29,6 +29,7 @@ QUERIES = {
     "region_revenue": relational.region_revenue,
     "event_value_quantiles": relational.event_value_quantiles,
     "approx_distinct_users": relational.approx_distinct_users,
+    "top_events_per_user": relational.top_events_per_user,
     # builder-ETL dataflow shapes (SURVEY.md §2.2 B2/B3/B5/B7/B11)
     "suppliers_per_nation": builder.suppliers_per_nation,
     "majority_event_type": builder.majority_event_type,
@@ -86,6 +87,7 @@ ORACLE_SQL = {
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
     "user_sessions": relational.USER_SESSIONS_SQL,
     "region_revenue": relational.REGION_REVENUE_SQL,
+    "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "suppliers_per_nation": builder.SUPPLIERS_PER_NATION_SQL,
     "majority_event_type": builder.MAJORITY_EVENT_TYPE_SQL,
     "top_type_tokens": builder.TOP_TYPE_TOKENS_SQL,

@@ -552,3 +552,44 @@ def approx_distinct_users(sf_dir: str, b: int = 12):
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Grouped top-k: each user's k highest-value events — per-batch
+    partial top-k (combiner) then per-group final top-k, so the shuffle
+    moves at most k rows per (user, batch), not the event stream."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("user_id", sort=False).head(k),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["user_id", "rank", "event_id", "value"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "rank"]).reset_index(drop=True)
+
+
+TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, rank, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+WHERE rank <= 3
+ORDER BY user_id, rank
+"""
