@@ -52,7 +52,7 @@ def docs_per_lang(sf_dir: str):
 
 
 DOCS_PER_LANG_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -80,8 +80,8 @@ def token_count_stats(sf_dir: str):
 
 TOKEN_COUNT_SQL = """
 SELECT lang,
-       SUM(CASE WHEN TRIM(text) = '' THEN 0
-                ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END) AS total_tokens,
+       CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -142,7 +142,7 @@ def exact_dedup_docs(sf_dir: str):
 
 
 EXACT_DEDUP_SQL = """
-SELECT lang, COUNT(*) AS n_survivors, SUM(n - 1) AS n_duplicates
+SELECT lang, COUNT(*) AS n_survivors, CAST(SUM(n - 1) AS BIGINT) AS n_duplicates
 FROM (
   SELECT ARG_MIN(lang, doc_id) AS lang, COUNT(*) AS n
   FROM documents GROUP BY MD5(text)
@@ -160,6 +160,7 @@ def punctuation_stats(sf_dir: str):
         df = t.to_pandas()
         df2 = pd.DataFrame(
             {"lang": df["lang"], "punct": [len(_PUNCT.findall(s)) for s in df["text"]],
+             "ws": [s.count(" ") for s in df["text"]],
              "chars": [len(s) for s in df["text"]]}
         )
         g = df2.groupby("lang", sort=False).sum().reset_index()
@@ -168,7 +169,9 @@ def punctuation_stats(sf_dir: str):
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .aggregate(Sum("punct", alias_name="punct_chars"), Sum("chars", alias_name="total_chars"))
+        .aggregate(Sum("punct", alias_name="punct_chars"),
+                   Sum("ws", alias_name="space_chars"),
+                   Sum("chars", alias_name="total_chars"))
         .to_pandas()
     )
     return out.sort_values("lang").reset_index(drop=True)
@@ -176,8 +179,9 @@ def punctuation_stats(sf_dir: str):
 
 PUNCT_STATS_SQL = """
 SELECT lang,
-       SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))) AS punct_chars,
-       SUM(LENGTH(text)) AS total_chars
+       CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))) AS BIGINT) AS punct_chars,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS space_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
