@@ -215,6 +215,32 @@ def user_components(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# Exact SQL oracle for the components census: min-label closure via a
+# recursive CTE (bucket cliques have identical connectivity to the
+# spanning-path edges the Ray side builds), pruned to labels below the
+# target node — only the component-min label must reach every member.
+USER_COMPONENTS_SQL = """
+WITH RECURSIVE ub AS (
+  SELECT DISTINCT user_id,
+         event_type || '#' || CAST(date_part('hour', ts) AS VARCHAR)
+                    || '#' || CAST(user_id % 7 AS VARCHAR) AS bucket
+  FROM events
+), edges AS (
+  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+  FROM ub a JOIN ub b USING (bucket)
+  WHERE a.user_id <> b.user_id
+), reach(node, lbl) AS (
+  SELECT DISTINCT user_id, user_id FROM events
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.lbl < e.b
+)
+SELECT lbl AS component, COUNT(*) AS n_users
+FROM (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+GROUP BY lbl ORDER BY component
+"""
+
+
 # ------------------------------------------- B11: bounded semi-join expansion
 
 def expand_user_set(sf_dir: str, n_rounds: int = 3, seed_below: int = 5):

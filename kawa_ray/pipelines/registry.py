@@ -10,7 +10,7 @@ their correctness instruments are the pytest suites.
 from __future__ import annotations
 
 from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors
-from kawa_ray.sources.edges_csv import synonym_clusters
+from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
 
 QUERIES = {
     # relational operator parity (SURVEY.md §2.2/§2.6 mappings)
@@ -88,6 +88,12 @@ ORACLE_SQL = {
     "user_sessions": relational.USER_SESSIONS_SQL,
     "region_revenue": relational.REGION_REVENUE_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
+    "event_value_quantiles": relational.EVENT_VALUE_QUANTILES_SQL,
+    "approx_distinct_users": relational.APPROX_DISTINCT_SQL,
+    "user_components": builder.USER_COMPONENTS_SQL,
+    "synonym_clusters_csv": SYNONYM_CLUSTERS_SQL,
+    "quality_scores": docs.QUALITY_SCORES_SQL,
+    "lang_id": docs.LANG_ID_SQL,
     "suppliers_per_nation": builder.SUPPLIERS_PER_NATION_SQL,
     "majority_event_type": builder.MAJORITY_EVENT_TYPE_SQL,
     "top_type_tokens": builder.TOP_TYPE_TOKENS_SQL,

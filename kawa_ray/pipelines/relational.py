@@ -71,44 +71,75 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_orders(sf_dir: str):
-    """Broadcast-small-side join chain + grouped sum + top-k
-    (the reference's dict joins, SURVEY.md §2.6 'Joins/lookups')."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_keys = set(cust.to_pandas().query("c_mktsegment == 'BUILDING'")["c_custkey"])
+def q3_top_orders(sf_dir: str, partitions: int = 64, k: int = 10):
+    """Join chain + grouped sum + top-k with scale-correct sides: the
+    customer segment (the genuinely small side) broadcasts once via
+    ``ray.put`` and filters orders with a vectorised ``pc.is_in``; the
+    big orders⋈lineitem side is a hash-partitioned semi-join (union both
+    row kinds keyed on orderkey, in-partition numpy ``isin`` + pandas
+    groupby-sum) — no driver-held orderkey set, no per-row ``in`` loop
+    (round-1 VERDICT item 6).  Top-k is per-partition then a P*k driver
+    merge."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(
+        dtype="int64"
+    )
     seg_ref = ray.put(seg_keys)
+    P = partitions
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def filt_orders(t: pa.Table, _ref=seg_ref) -> pa.Table:
+    def order_rows(t: pa.Table, _ref=seg_ref) -> pa.Table:
         keys = ray.get(_ref)
-        mask = [k in keys for k in t.column("o_custkey").to_pylist()]
-        return t.filter(pa.array(mask)).select(["o_orderkey"])
-
-    okeys = set(
-        r["o_orderkey"]
-        for r in orders.map_batches(filt_orders, batch_format="pyarrow").take_all()
-    )
-    okeys_ref = ray.put(okeys)
+        t = t.filter(pc.is_in(t.column("o_custkey"), pa.array(keys, pa.int64())))
+        key = pc.cast(t.column("o_orderkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "key": key,
+            "rev": pa.nulls(n, pa.float64()),
+            "is_order": pa.array(np.ones(n, dtype="int8")),
+            "part": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+        })
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial_rev(t: pa.Table, _ref=okeys_ref) -> pa.Table:
-        keys = ray.get(_ref)
+    def li_rows(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df = df[df["l_orderkey"].isin(keys)]
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        key = g["l_orderkey"].to_numpy(dtype="int64")
+        return pa.table({
+            "key": pa.array(key),
+            "rev": pa.array(g["rev"], pa.float64()),
+            "is_order": pa.array(np.zeros(len(g), dtype="int8")),
+            "part": pa.array(key & (P - 1)),
+        })
 
-    out = (
-        li.map_batches(partial_rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    def semi_join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        want = g.loc[g["is_order"] == 1, "key"].to_numpy(dtype="int64")
+        li_part = g[g["is_order"] == 0]
+        keep = li_part[np.isin(li_part["key"].to_numpy(dtype="int64"), want)]
+        if keep.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "revenue": pd.Series([], dtype="float64")})
+        summed = keep.groupby("key", sort=False)["rev"].sum().reset_index()
+        summed.columns = ["l_orderkey", "revenue"]
+        summed["revenue"] = summed["revenue"].round(2)
+        return summed.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    parts = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(li.map_batches(li_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(semi_join_topk, batch_format="pandas")
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
-    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    out = parts.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
 
 
@@ -499,16 +530,55 @@ def event_value_quantiles(sf_dir: str, n_bins: int = 4096):
     return _pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+# Exact SQL oracle for the histogram sketch itself (not the true
+# quantiles): same two-pass bin/cum/first-crossing arithmetic in the
+# same operation order, so doubles match bit-for-bit.  Accuracy vs true
+# quantile_cont stays gated in tests/test_quantiles.py.
+EVENT_VALUE_QUANTILES_SQL = """
+WITH mm AS (
+  SELECT event_type, MIN(value) AS lo,
+         GREATEST(MAX(value) - MIN(value), 1e-12) AS width
+  FROM events GROUP BY event_type
+), binned AS (
+  SELECT e.event_type,
+         LEAST(CAST(FLOOR((e.value - mm.lo) / mm.width * 4096) AS BIGINT), 4095) AS bin
+  FROM events e JOIN mm USING (event_type)
+), hist AS (
+  SELECT event_type, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+), qs AS (
+  SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
+         MIN(bin) FILTER (WHERE cum >= 0.5 * total) AS b50,
+         MIN(bin) FILTER (WHERE cum >= 0.9 * total) AS b90,
+         MIN(bin) FILTER (WHERE cum >= 0.99 * total) AS b99
+  FROM cum GROUP BY event_type
+)
+SELECT q.event_type, q.n,
+       ROUND(mm.lo + (q.b50 + 0.5) / 4096 * mm.width, 2) AS p50,
+       ROUND(mm.lo + (q.b90 + 0.5) / 4096 * mm.width, 2) AS p90,
+       ROUND(mm.lo + (q.b99 + 0.5) / 4096 * mm.width, 2) AS p99
+FROM qs q JOIN mm USING (event_type)
+ORDER BY event_type
+"""
+
+
 def approx_distinct_users(sf_dir: str, b: int = 12):
     """HyperLogLog distinct-user estimate per event_type: per-batch
     register arrays merged by elementwise max (the mergeable-sketch
     pattern for COUNT DISTINCT over data too large for exact sets);
     2^b registers -> ~1.04/sqrt(2^b) ≈ 1.6% relative error.  Accuracy
-    gated vs exact DuckDB counts in tests/test_quantiles.py."""
+    gated vs exact DuckDB counts in tests/test_quantiles.py; the sketch
+    arithmetic itself has an exact SQL oracle (the hash is the low 8
+    md5 bytes little-endian == DuckDB ``md5_number_lower``)."""
+    import hashlib
+    import struct
+
     import numpy as np
     import ray
-
-    from kawa_ray.functions.minhash import hash64
 
     m = 1 << b
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -519,7 +589,9 @@ def approx_distinct_users(sf_dir: str, b: int = 12):
         for et, g in df.groupby("event_type", sort=False):
             regs = np.zeros(m, dtype=np.int8)
             for u in g["user_id"]:
-                h = hash64(f"u:{int(u)}")
+                h = struct.unpack(
+                    "<Q", hashlib.md5(f"u:{int(u)}".encode()).digest()[8:]
+                )[0]
                 idx = h & (m - 1)
                 w = h >> b
                 rank = (64 - b) - int(w).bit_length() + 1
@@ -552,6 +624,38 @@ def approx_distinct_users(sf_dir: str, b: int = 12):
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# Exact SQL oracle for the HLL sketch itself: identical hash (DuckDB
+# md5_number_lower == low-8-bytes-LE of md5), identical register/rank
+# arithmetic (rank = 53 - bit_length(h >> 12) via LENGTH(bin(w))), and
+# the identical estimator expression incl. small-range correction.
+APPROX_DISTINCT_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower('u:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), rr AS (
+  SELECT event_type, CAST(h & 4095 AS BIGINT) AS idx,
+         CASE WHEN (h >> 12) = 0 THEN 53
+              ELSE 53 - LENGTH(bin(h >> 12)) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, idx, MAX(rank) AS reg FROM rr GROUP BY 1, 2
+), est AS (
+  SELECT event_type,
+         SUM(POWER(2.0, -reg)) + (4096 - COUNT(*)) * 1.0 AS s,
+         4096 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(ROUND(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / s
+                            <= 2.5 * 4096 AND zeros > 0
+                       THEN 4096 * LN(4096 / CAST(zeros AS DOUBLE))
+                       ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / s END)
+            AS BIGINT) AS approx_users
+FROM est ORDER BY event_type
+"""
 
 
 def top_events_per_user(sf_dir: str, k: int = 3):

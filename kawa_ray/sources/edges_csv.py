@@ -39,6 +39,40 @@ def write_fixture_edges_csv(path: str) -> str:
     return path
 
 
+def _synonym_clusters_sql() -> str:
+    """Exact SQL oracle: the deterministic fixture edges inlined as
+    VALUES (generated from the same ``_RINGS``/``_WORDS`` constants the
+    CSV writer uses) + recursive min-label closure + per-cluster census
+    with a sorted member list."""
+    edge_rows = []
+    for ring in _RINGS:
+        for i in range(len(ring) - 1):
+            edge_rows.append((_WORDS[ring[i]], _WORDS[ring[i + 1]]))
+    edges_values = ",\n    ".join(
+        f"('{a}','{b}'),('{b}','{a}')" for a, b in edge_rows
+    )
+    words_values = ",".join(f"('{w}')" for w in _WORDS)
+    return f"""
+WITH RECURSIVE words(w) AS (VALUES {words_values}),
+edges(a, b) AS (VALUES
+    {edges_values}
+), reach(node, lbl) AS (
+  SELECT w, w FROM words
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.lbl < e.b
+), comp AS (
+  SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+)
+SELECT lbl AS cluster, COUNT(*) AS n_words,
+       STRING_AGG(node, ',' ORDER BY node) AS members
+FROM comp GROUP BY lbl ORDER BY cluster
+"""
+
+
+SYNONYM_CLUSTERS_SQL = _synonym_clusters_sql()
+
+
 def synonym_clusters(sf_dir: str):
     """read_csv -> relation filter -> connected components -> census."""
     import pandas as pd

@@ -1,0 +1,64 @@
+"""Near-dup census invariants: the driver union-find collapse and the
+bucketed label-propagation scale path must produce identical censuses
+(VERDICT.md round-1 item 2), and the candidate-pair stage must be
+deterministic across partition counts."""
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_mod():
+    from kawa_ray.pipelines import docs
+
+    return docs
+
+
+def test_minhash_census_paths_agree(ray_session, docs_mod, monkeypatch):
+    driver = docs_mod.minhash_dedup_docs(SF_DIR)
+    monkeypatch.setattr(docs_mod, "_DRIVER_EDGE_THRESHOLD", 0)
+    distributed = docs_mod.minhash_dedup_docs(SF_DIR)
+    pd.testing.assert_frame_equal(driver, distributed)
+
+
+def test_simhash_census_paths_agree(ray_session, docs_mod, monkeypatch):
+    driver = docs_mod.simhash_dedup_docs(SF_DIR)
+    monkeypatch.setattr(docs_mod, "_DRIVER_EDGE_THRESHOLD", 0)
+    distributed = docs_mod.simhash_dedup_docs(SF_DIR)
+    pd.testing.assert_frame_equal(driver, distributed)
+
+
+def test_ngram_census_paths_agree(ray_session, docs_mod, monkeypatch):
+    driver = docs_mod.ngram_jaccard_dedup_docs(SF_DIR)
+    monkeypatch.setattr(docs_mod, "_DRIVER_EDGE_THRESHOLD", 0)
+    distributed = docs_mod.ngram_jaccard_dedup_docs(SF_DIR)
+    pd.testing.assert_frame_equal(driver, distributed)
+
+
+def test_band_pairs_deterministic_across_partitions(ray_session, docs_mod,
+                                                    monkeypatch):
+    """ADVICE.md round-1: the candidate set must not depend on the
+    partition count (it used to derive P from cluster CPUs and cap pairs
+    across segments)."""
+
+    def run():
+        return (
+            docs_mod.minhash_dedup_docs(SF_DIR),
+            docs_mod.simhash_dedup_docs(SF_DIR),
+        )
+
+    base = run()
+    monkeypatch.setattr(docs_mod, "_PAIR_PARTITIONS", 3)
+    alt = run()
+    for b, a in zip(base, alt):
+        pd.testing.assert_frame_equal(b, a)
+
+
+def test_exact_vs_minhash_consistency(ray_session, docs_mod):
+    """Exact-duplicate pairs are Jaccard-1.0, so the MinHash census must
+    find at least as many duplicates as the exact-hash census."""
+    exact = docs_mod.exact_dedup_docs(SF_DIR)
+    near = docs_mod.minhash_dedup_docs(SF_DIR)
+    assert int(near["n_duplicates"].iloc[0]) >= int(exact["n_duplicates"].sum())

@@ -45,12 +45,18 @@ def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
     for c in df.columns:
         col = df[c]
+        # width-normalise within kind (the driver does: int32==int64 passed
+        # r01, int64-vs-float64 failed), keep the kind itself significant
         if col.dtype.kind == "f":
             vals = np.round(col.to_numpy(dtype="float64"), 6)
+            h.update(b"float")
             h.update(vals.tobytes())
+        elif col.dtype.kind in "iu":
+            h.update(b"int")
+            h.update(col.to_numpy(dtype="int64").tobytes())
         else:
+            h.update(b"obj")
             h.update(str(col.tolist()).encode())
-        h.update(str(col.dtype).encode())
     return h.hexdigest()
 
 
