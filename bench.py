@@ -111,10 +111,11 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (BASELINE.md).
 
-    Runs on a 4x corpus (200k pages, ``GRAFT_SCALING_SF``, default 0.4)
+    Runs on a 16x corpus (800k pages, ``GRAFT_SCALING_SF``, default 1.6)
     so the linear per-doc work dominates the fixed per-stage scheduling
     cost — the regime the north rule's N-vs-4N-node criterion describes;
-    at 50k pages a 32-CPU run is bounded by shuffle constants, not data.
+    at 50k pages a 32-CPU run is bounded by shuffle constants, not data
+    (the recorded-evidence configuration in BASELINE.md is the 1.6 default).
     """
     scaling_sf = os.environ.get("GRAFT_SCALING_SF", "1.6")
     sf_dir = f"/root/testdata/sf{scaling_sf}"

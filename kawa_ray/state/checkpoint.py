@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -71,13 +72,24 @@ class StageManifest:
                 return m
         return {"stage": self.stage, "fingerprint": self.fingerprint, "partitions": {}}
 
-    def done_pids(self) -> set[int]:
+    def done_pids(self, shard_paths: list[str] | None = None) -> set[int]:
+        """Finished partitions.  With ``shard_paths`` given, an entry only
+        counts as done if its recorded ``input`` still equals the current
+        pid -> shard mapping — a renamed/reordered shard list under a
+        same-named input dir must NOT reuse parts computed from different
+        shards (round-1 ADVICE)."""
         m = self.load()
         done = set()
         for pid_s, ent in m.get("partitions", {}).items():
-            part = os.path.join(self.dir, f"part-{int(pid_s):05d}.parquet")
-            if os.path.exists(part) and ent.get("lineage_id"):
-                done.add(int(pid_s))
+            pid = int(pid_s)
+            part = os.path.join(self.dir, f"part-{pid:05d}.parquet")
+            if not (os.path.exists(part) and ent.get("lineage_id")):
+                continue
+            if shard_paths is not None and (
+                pid >= len(shard_paths) or ent.get("input") != shard_paths[pid]
+            ):
+                continue
+            done.add(pid)
         return done
 
     def merge(self, new_entries: dict[int, dict]) -> dict:
@@ -168,15 +180,15 @@ def run_sharded_stage(shard_paths: list[str], stage: str, out_root: str,
     stage_dir = os.path.join(out_root, stage)
     os.makedirs(stage_dir, exist_ok=True)
     manifest = StageManifest(stage=stage, fingerprint=fingerprint, dir=stage_dir)
-    done = manifest.done_pids()
+    done = manifest.done_pids(shard_paths)
     # stale parts beyond the current shard range (a previous run with more
     # shards / different input) would otherwise be globbed into downstream
     # reads — remove them; in-range non-done parts are safely overwritten
+    part_re = re.compile(r"^part-(\d+)\.parquet$")
     for f in os.listdir(stage_dir):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            pid = int(f[5:10])
-            if pid >= len(shard_paths):
-                os.remove(os.path.join(stage_dir, f))
+        m = part_re.match(f)
+        if m and int(m.group(1)) >= len(shard_paths):
+            os.remove(os.path.join(stage_dir, f))
     todo = [
         {"pid": pid, "path": p}
         for pid, p in enumerate(shard_paths)
