@@ -2,10 +2,12 @@
 
 Same label coverage as the reference's ``default_ner_regexes``
 (/root/reference/ontology/ontology_builder_data.py:23-41): DOMAIN_NAME,
-EMAIL_ADDRESS, DATE, TIME, PHONE_NUMBER, IP_ADDRESS, PRICE, CREDIT_CARD,
-STREET_ADDRESS, GOVT_ID — written from scratch as compact patterns
+EMAIL_ADDRESS, USER_NAME, DATE, TIME, PHONE_NUMBER, IP_ADDRESS (v4+v6),
+PRICE, CREDIT_CARD, CRYPTO, STREET_ADDRESS (street / ZIP / PO Box
+variants), GOVT_ID, ICD_CODE — written from scratch as compact patterns
 (notably the domain matcher uses a generic TLD shape instead of the
-reference's enumerated TLD list).
+reference's enumerated TLD list, and USER_NAME matches @handles anywhere
+rather than only at line start).
 
 Patterns are compiled once at import; the detection actor reuses them
 per batch (stateful-setup-once rule).
@@ -22,23 +24,27 @@ _MONTH = (
 
 REGEX_NER: list[tuple[str, re.Pattern]] = [
     ("EMAIL_ADDRESS", re.compile(r"\b[a-z0-9!#$%&'*+/=?^_`{|}~.-]+@(?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)+[a-z]{2,}\b", re.I)),
+    ("USER_NAME", re.compile(r"(?<![\w@.])@[a-z0-9_](?:[a-z0-9_.]{1,28}[a-z0-9_])?\b", re.I)),
+    ("ICD_CODE", re.compile(r"\b[A-TV-Z]\d[A-Z0-9]\.[A-Z0-9]{1,4}\b")),
     ("DOMAIN_NAME", re.compile(r"\b(?:https?://)?(?:www\.)?[a-z0-9][a-z0-9.-]*\.[a-z]{2,12}(?:/[^\s()<>\"']*[^\s()<>\"'.,;:!?])?", re.I)),
     ("IP_ADDRESS", re.compile(r"\b(?:(?:25[0-5]|2[0-4]\d|[01]?\d\d?)\.){3}(?:25[0-5]|2[0-4]\d|[01]?\d\d?)\b")),
+    ("IP_ADDRESS", re.compile(r"\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b|\b(?:[0-9a-f]{1,4}:){1,6}:(?:[0-9a-f]{1,4}:?){0,6}[0-9a-f]{1,4}\b", re.I)),
     ("DATE", re.compile(
         rf"\b(?:[0-3]?\d(?:st|nd|rd|th)?\s+(?:of\s+)?{_MONTH}|{_MONTH}\s+[0-3]?\d(?:st|nd|rd|th)?)(?:,)?\s*(?:\d{{4}})?\b"
         r"|\b[0-3]?\d[-/.][0-3]?\d[-/.]\d{2,4}\b", re.I)),
     ("TIME", re.compile(r"\b\d{1,2}:\d{2}(?::\d{2})?\s?(?:[ap]\.?m\.?)?\b|\b\d{1,2}\s?[ap]\.?m\.?\b", re.I)),
     ("PRICE", re.compile(r"[$€£]\s?[+-]?\d{1,3}(?:,?\d{3})*(?:\.\d{1,2})?")),
+    ("CRYPTO", re.compile(r"(?<![a-km-zA-HJ-NP-Z0-9])[13][a-km-zA-HJ-NP-Z0-9]{26,33}(?![a-km-zA-HJ-NP-Z0-9])")),
     ("CREDIT_CARD", re.compile(r"\b(?:\d{4}[- ]?){3}\d{4}\b|\b\d{15,16}\b")),
     ("PHONE_NUMBER", re.compile(r"(?<![\d-])(?:\+?\d{1,3}[-.\s]?)?(?:\(\d{2,4}\)[-.\s]?)?\d{3}[-.\s]?\d{3,4}[-.\s]?\d{0,4}(?![\d-])")),
     ("STREET_ADDRESS", re.compile(
         r"\b\d{1,4}\s+[\w .]{1,24}\b(?:street|st|avenue|ave|road|rd|highway|hwy|square|sq|"
         r"trail|trl|drive|dr|court|ct|parkway|pkwy|circle|cir|boulevard|blvd)\b\.?", re.I)),
+    ("STREET_ADDRESS", re.compile(r"\bP\.?\s?O\.?\s?Box\s+\d+\b", re.I)),
     ("GOVT_ID", re.compile(r"\b(?!000|666)[0-8]\d{2}[- ](?!00)\d{2}[- ](?!0000)\d{4}\b")),
+    ("STREET_ADDRESS", re.compile(r"\b\d{5}(?:-\d{4})?\b(?!-)")),
 ]
 
-# label priority when spans overlap: earlier wins (email before domain etc.)
-_PRIORITY = {label: i for i, (label, _) in enumerate(REGEX_NER)}
 
 
 def regex_mentions(text: str) -> list[tuple[str, int, int, str]]:

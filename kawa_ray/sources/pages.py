@@ -206,6 +206,19 @@ class PageGenerator:
             contact = f"contact {email} call {phone} host {ip} fee {price}"
             text_blocks.append(contact)
             html_parts.append(f"<p>{_html.escape(contact)}</p>")
+        # a disjoint ~10% slice carries the long-tail PII kinds (round-2
+        # extractor parity: USER_NAME / CRYPTO / ICD / PO Box / ZIP)
+        if hc % 10 == 3:
+            handle = f"@user_{hc % 997}"
+            b58 = "abcdefghijkmnopqrstuvwxyzABCDEFGHJKLMNPQRSTUVWXYZ123456789"
+            wallet = "1" + "".join(b58[(hc >> (i % 48)) % 58 + 0] for i in range(28))
+            icd = f"J{hc % 10}{(hc >> 4) % 10}.{(hc >> 8) % 10}"
+            pobox = f"P.O. Box {100 + hc % 9000}"
+            zipc = f"{10000 + hc % 89999}"
+            extra = (f"profile {handle} wallet {wallet} code {icd} "
+                     f"mail {pobox} area {zipc}")
+            text_blocks.append(extra)
+            html_parts.append(f"<p>{_html.escape(extra)}</p>")
 
         html_parts.append(f"<footer>© site{site_id:04d} example</footer></body></html>")
         html = "".join(html_parts).encode("utf-8")
@@ -256,7 +269,7 @@ def generate_pages(n_pages: int, n_entities: int = 300,
 
 SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000, "1.6": 800000}
 CACHE_DIR = os.environ.get("KAWA_PAGES_DIR", "/tmp/kawa_ray_pages")
-_GEN_VERSION = "v2"  # bump when generator output changes
+_GEN_VERSION = "v3"  # bump when generator output changes
 
 
 def sf_of_dir(sf_dir: str) -> str:
