@@ -129,3 +129,9 @@ class LinkageConfig:
     detect_concurrency: int = 30
     score_batch_size: int = 4096
     score_concurrency: int = 8
+
+    # Embedding channel source: "fixture" = roster alias table (default;
+    # deterministic, engineered confusable margins), "context" = E1
+    # span-pooled corpus context vectors (stages/embedding.py) — the
+    # model path when transformers is installed, FixtureEncoder here.
+    embedding_source: str = "fixture"

@@ -349,3 +349,29 @@ def er_salting_report(sf_dir: str):
             ],
         }
     )
+
+
+def er_context_embeddings(sf_dir: str):
+    """E1: span-pooled contextual embedding artifact over the corpus
+    (stages/embedding.py — reference extract_word_embeddings.py:20-40
+    semantics).  Reports per-norm occurrence counts and the leading
+    vector component; rows-only (model output is not SQL-expressible)."""
+    import numpy as np
+
+    from kawa_ray.pipelines.linkage import default_artifacts, read_pages
+    from kawa_ray.stages.embedding import context_embedding_artifact
+
+    pages_dir = ensure_pages(sf_of_dir(sf_dir))
+    lexicon, _ = default_artifacts()
+    norm2row, matrix, _aux = context_embedding_artifact(
+        read_pages(pages_dir), lexicon
+    )
+    norms = sorted(norm2row)
+    return pd.DataFrame(
+        {
+            "norm": norms,
+            "l2": [round(float(np.linalg.norm(matrix[norm2row[n]])), 4)
+                   for n in norms],
+            "c0": [round(float(matrix[norm2row[n]][0]), 4) for n in norms],
+        }
+    )

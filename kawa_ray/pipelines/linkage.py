@@ -222,6 +222,15 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     cfg = cfg or LinkageConfig()
     lexicon, embed_obj = default_artifacts(n_entities)
     pages = read_pages(pages_dir)
+    if cfg.embedding_source == "context":
+        # E1: span-pooled corpus context vectors (model encoder when
+        # transformers is installed, FixtureEncoder otherwise) replace
+        # the roster alias table in the scoring channel
+        from kawa_ray.stages.embedding import context_embedding_artifact
+
+        embed_obj = context_embedding_artifact(
+            pages, lexicon, concurrency=_pool_size(cfg.detect_concurrency)
+        )
     mentions = detect_mentions(pages, cfg, lexicon, n_entities).materialize()
     nodes = build_nodes(mentions).materialize()
     if nodes.count() <= cfg.driver_pair_threshold:

@@ -71,6 +71,7 @@ QUERIES = {
     "er_mention_eval": er_queries.er_mention_eval,
     "er_incremental_check": er_queries.er_incremental_check,
     "er_salting_report": er_queries.er_salting_report,
+    "er_context_embeddings": er_queries.er_context_embeddings,
 }
 
 ORACLE_SQL = {

@@ -101,6 +101,25 @@ class PageGenerator:
         self.hot_eid = 3
         self.hot_surface = "Smith"
 
+    _TOPIC_CONS = "bdfgklmnprstvz"
+
+    def topic_words(self, eid: int, h: int, k: int = 2) -> list[str]:
+        """``k`` of the entity's 4 deterministic topic words — the
+        entity-specific context real pages have (an entity co-occurs with
+        its domain vocabulary), which the E1 contextual-embedding channel
+        needs to carry signal.  Shapes like 'zqbodafu' never collide with
+        roster surfaces or filler."""
+        out = []
+        for j in range(k):
+            hw = _h(SEED, "topic", eid, (h >> (8 * j)) % 4)
+            body = "".join(
+                self._TOPIC_CONS[(hw >> (4 * i)) % len(self._TOPIC_CONS)]
+                + "aeiou"[(hw >> (4 * i + 2)) % 5]
+                for i in range(3)
+            )
+            out.append("zq" + body)
+        return out
+
     def render(self, doc_id: int) -> tuple[dict, list[tuple[str, int, str]]]:
         """-> (page row dict, [(surface, entity_id, label), ...] in order)."""
         h0 = _h(SEED, "page", doc_id)
@@ -176,6 +195,9 @@ class PageGenerator:
                     )
                     tokens_text.append(surface)
                     tokens_html.append(wrapped)
+                    topics = self.topic_words(eid, _h(SEED, "tp", doc_id, p, si))
+                    tokens_text.extend(topics)
+                    tokens_html.extend(_html.escape(t) for t in topics)
                     si += 1
                     next_slot = next(spec_iter, None)
                 tokens_text.append(w)
@@ -186,6 +208,9 @@ class PageGenerator:
                 ordered_mentions.append((surface, eid, label))
                 tokens_text.append(surface)
                 tokens_html.append(_html.escape(surface))
+                topics = self.topic_words(eid, _h(SEED, "tpt", doc_id, p, len(ordered_mentions)))
+                tokens_text.extend(topics)
+                tokens_html.extend(_html.escape(t) for t in topics)
                 next_slot = next(spec_iter, None)
             para_text = " ".join(tokens_text) + "."
             para_html = " ".join(tokens_html) + "."
@@ -269,7 +294,7 @@ def generate_pages(n_pages: int, n_entities: int = 300,
 
 SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000, "1.6": 800000}
 CACHE_DIR = os.environ.get("KAWA_PAGES_DIR", "/tmp/kawa_ray_pages")
-_GEN_VERSION = "v3"  # bump when generator output changes
+_GEN_VERSION = "v4"  # bump when generator output changes
 
 
 def sf_of_dir(sf_dir: str) -> str:
