@@ -9,7 +9,7 @@ their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors
+from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors, word2ner_fix
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
 
 QUERIES = {
@@ -72,6 +72,8 @@ QUERIES = {
     "er_incremental_check": er_queries.er_incremental_check,
     "er_salting_report": er_queries.er_salting_report,
     "er_context_embeddings": er_queries.er_context_embeddings,
+    # B13 rule cascade (fix_and_enhance_word2ner)
+    "word2ner_fix": word2ner_fix.word2ner_fix,
 }
 
 ORACLE_SQL = {
@@ -110,4 +112,5 @@ ORACLE_SQL = {
     "embedding_label_stats": vectors.EMBEDDING_LABEL_STATS_SQL,
     "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,
     "embedding_centroids": vectors.EMBEDDING_CENTROIDS_SQL,
+    "word2ner_fix": word2ner_fix.WORD2NER_FIX_SQL,
 }
