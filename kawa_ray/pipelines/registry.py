@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors, word2ner_fix
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
+from kawa_ray.state.multilingual_map import MULTILINGUAL_MAP_SQL, multilingual_map
 
 QUERIES = {
     # relational operator parity (SURVEY.md §2.2/§2.6 mappings)
@@ -74,6 +75,8 @@ QUERIES = {
     "er_context_embeddings": er_queries.er_context_embeddings,
     # B13 rule cascade (fix_and_enhance_word2ner)
     "word2ner_fix": word2ner_fix.word2ner_fix,
+    # B12 en->lang projection over the translation fixture graph
+    "multilingual_map": multilingual_map,
 }
 
 ORACLE_SQL = {
@@ -113,4 +116,5 @@ ORACLE_SQL = {
     "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,
     "embedding_centroids": vectors.EMBEDDING_CENTROIDS_SQL,
     "word2ner_fix": word2ner_fix.WORD2NER_FIX_SQL,
+    "multilingual_map": MULTILINGUAL_MAP_SQL,
 }

@@ -171,6 +171,104 @@ ALL_STOPWORDS: dict[str, frozenset[str]] = {
 
 # Union across languages — used when the target language is unknown
 # (reference: OntologyManager.stopwords_all, ontology_manager.py:86).
+
+
+# Round-2 breadth extension toward the reference's 134 languages
+# (compact common-function-word sets, written from public knowledge —
+# NOT copied from the reference's 474 KB lists):
+_EXTENDED: dict[str, frozenset[str]] = {
+    "af": frozenset("""die en van het is nie ek jy hy sy ons julle hulle wat met vir om te was sal""".split()),
+    "am": frozenset("""እና ነው ወደ ላይ ውስጥ እኔ አንተ እሷ እነሱ ይህ ያ ምን ግን""".split()),
+    "as": frozenset("""আৰু এটা এই মই তুমি সি আমি তেওঁলোক নহয় কি কিন্তু বাবে সৈতে পৰা আছে আছিল""".split()),
+    "az": frozenset("""və bir bu o mən sən biz siz onlar ilə üçün ki amma da də var idi""".split()),
+    "ba": frozenset("""һәм бер был ул мин һин беҙ һеҙ улар өсөн тип бар ине юҡ ләкин""".split()),
+    "be": frozenset("""і у на з не я ты ён яна мы вы яны гэта што але як для па ад да""".split()),
+    "bg": frozenset("""и в на е се да не аз ти той тя ние вие те това що но за с от по""".split()),
+    "bn": frozenset("""এবং একটি এই আমি তুমি সে আমরা তারা না কি কিন্তু জন্য সঙ্গে থেকে হয় ছিল""".split()),
+    "bo": frozenset("""དང གཅིག འདི ང ཁྱོད ཁོ ང་ཚོ ཁོང་ཚོ མིན གང ཡིན ལ ནས""".split()),
+    "bs": frozenset("""i u na je se da ne ja ti on ona mi vi oni ovo to što ali za sa od""".split()),
+    "ca": frozenset("""el la els les un una i o però si de del en a al per amb com és són que no""".split()),
+    "ceb": frozenset("""ang sa ug mga ako ikaw siya kami sila kini kana nga dili aduna""".split()),
+    "co": frozenset("""è un in di ùn eiu tù ellu noi voi elli questu chì ma per cù da""".split()),
+    "cv": frozenset("""тата пӗр ку вӑл эпӗ эсӗ эпир эсир вӗсем валли тесе пур ҫук анчах""".split()),
+    "cy": frozenset("""a yr yn i o ar mae roedd fi ti ef hi ni chi nhw hyn na ond am gyda""".split()),
+    "dv": frozenset("""އަދި އެއް މި އަހަރެން ތިބާ އޭނާ އަހަރެމެން އެމީހުން ނޫން ކޮން އެކަމަކު އަށް އާއެކު އިން""".split()),
+    "eo": frozenset("""la kaj en de al por kun ne mi vi li ŝi ni ili tio ĉi estas estis sed""".split()),
+    "et": frozenset("""ja on ei ma sa ta me te nad see et aga kui siis oma mis kes kus""".split()),
+    "eu": frozenset("""eta bat da ez ni zu hura gu zuek haiek hau hori baina zer non nola""".split()),
+    "fa": frozenset("""و در به از که این آن من تو او ما شما آنها است بود نه اما برای با""".split()),
+    "fy": frozenset("""en in is net ik do hy sy wy jimme hja dit dat mar foar mei fan op""".split()),
+    "ga": frozenset("""agus an na is ní mé tú sé sí muid sibh siad seo sin ach le do ar""".split()),
+    "gd": frozenset("""agus an na is chan mi thu e i sinn sibh iad seo sin ach le do air""".split()),
+    "gl": frozenset("""o a os as un unha e ou pero se de do en ao por para con como é son que non""".split()),
+    "gu": frozenset("""અને એક આ હું તું તે અમે તેઓ નથી શું પણ માટે સાથે થી છે હતું""".split()),
+    "ha": frozenset("""da a cikin ni kai shi ita mu ku su wannan ba amma don tare ne ya""".split()),
+    "he": frozenset("""של את על אני אתה הוא היא אנחנו אתם הם זה לא מה אבל כי עם אל יש היה""".split()),
+    "hmn": frozenset("""thiab ib no kuv koj nws peb lawv tsis dab tsi tab sis rau nrog los""".split()),
+    "hr": frozenset("""i u na je se da ne ja ti on ona mi vi oni ovo to što ali za s od""".split()),
+    "ht": frozenset("""ak yon nan mwen ou li nou yo sa pa ki men pou avèk se te""".split()),
+    "hy": frozenset("""և մի այս ես դու նա մենք դուք նրանք ոչ ինչ բայց համար հետ ից է էր""".split()),
+    "ig": frozenset("""na a m gị ọ anyị unu ha nke a mba ma maka ya bụ""".split()),
+    "is": frozenset("""og í á er ekki ég þú hann hún við þið þeir þetta að en fyrir með sem var""".split()),
+    "jv": frozenset("""lan siji iki aku kowe dheweke awake dhewe ora apa nanging kanggo karo saka""".split()),
+    "ka": frozenset("""და არის არ მე შენ ის ჩვენ თქვენ ისინი ეს რომ მაგრამ რა სად""".split()),
+    "kk": frozenset("""және бір бұл ол мен сен біз сіз олар үшін деп бар еді жоқ бірақ""".split()),
+    "km": frozenset("""និង មួយ នេះ ខ្ញុំ អ្នក គាត់ យើង ពួកគេ ទេ អ្វី ប៉ុន្តែ សម្រាប់ ជាមួយ ពី""".split()),
+    "kn": frozenset("""ಮತ್ತು ಒಂದು ಈ ನಾನು ನೀನು ಅವನು ನಾವು ಅವರು ಇಲ್ಲ ಏನು ಆದರೆ ಗಾಗಿ ಜೊತೆ ಇಂದ ಇದೆ""".split()),
+    "ku": frozenset("""û yek ev ez tu ew em hûn ji bo bi ne lê çi li ser""".split()),
+    "ky": frozenset("""жана бир бул ал мен сен биз силер алар үчүн деп бар эле жок бирок""".split()),
+    "la": frozenset("""et in est non ego tu ille nos vos illi hic quod sed pro cum ab ad ut""".split()),
+    "lb": frozenset("""an ass net ech du hien si mir dir dëst dat awer fir mat vun op""".split()),
+    "ln": frozenset("""mpe moko oyo ngai yo ye biso bango te nini kasi mpo na elongo uta""".split()),
+    "lo": frozenset("""ແລະ ຫນຶ່ງ ນີ້ ຂ້ອຍ ເຈົ້າ ລາວ ພວກເຮົາ ບໍ່ ແຕ່ ສໍາລັບ ກັບ ຈາກ""".split()),
+    "lt": frozenset("""ir yra ne aš tu jis ji mes jūs jie tai kad bet už su iš į per""".split()),
+    "lv": frozenset("""un ir nav es tu viņš viņa mēs jūs viņi šis tas ka bet par ar no uz""".split()),
+    "mg": frozenset("""sy ny amin izaho ianao izy isika izy ireo tsy fa ho amin'ny avy""".split()),
+    "mhr": frozenset("""да ик тиде мый тый тудо ме те нуно уке мо но верч дене гыч""".split()),
+    "mi": frozenset("""me te i a au koe ia matou ratou tenei kaore engari mo ki mai""".split()),
+    "mk": frozenset("""и во на е се да не јас ти тој таа ние вие тие ова што но за со од""".split()),
+    "ml": frozenset("""ഉം ഒരു ഈ ഞാൻ നീ അവൻ ഞങ്ങൾ അവർ ഇല്ല എന്ത് പക്ഷേ വേണ്ടി കൂടെ നിന്ന് ആണ്""".split()),
+    "mn": frozenset("""ба нэг энэ би чи тэр бид та нар тэд үгүй юу гэхдээ төлөө хамт аас""".split()),
+    "mr": frozenset("""आणि एक हा मी तू तो आम्ही ते नाही काय पण साठी सोबत पासून आहे होता""".split()),
+    "ms": frozenset("""dan satu ini saya awak dia kami mereka tidak apa tetapi untuk dengan dari adalah""".split()),
+    "mt": frozenset("""u wieħed dan jien int hu aħna huma ma xiex imma għal ma' minn hija kien""".split()),
+    "my": frozenset("""နှင့် သည် ကို မှာ က ငါ သူ ဒါ မ ဘာ""".split()),
+    "ne": frozenset("""र एक यो म तिमी ऊ हामी उनीहरू होइन के तर लागि संग बाट छ थियो""".split()),
+    "no": frozenset("""og i på er ikke jeg du han hun vi dere de dette at men for med av til som var""".split()),
+    "om": frozenset("""fi tokko kana ani ati inni nuti isaan miti maal garuu dhaaf wajjin irraa""".split()),
+    "or": frozenset("""ଏବଂ ଏକ ଏହି ମୁଁ ତୁମେ ସେ ଆମେ ସେମାନେ ନାହିଁ କଣ କିନ୍ତୁ ପାଇଁ ସହିତ ରୁ ଅଛି ଥିଲା""".split()),
+    "pa": frozenset("""ਅਤੇ ਇੱਕ ਇਹ ਮੈਂ ਤੂੰ ਉਹ ਅਸੀਂ ਨਹੀਂ ਕੀ ਪਰ ਲਈ ਨਾਲ ਤੋਂ ਹੈ ਸੀ""".split()),
+    "ps": frozenset("""او یو دا زه ته هغه موږ تاسو دوی نه څه خو لپاره سره له دی و""".split()),
+    "rw": frozenset("""na rimwe iki njye wowe we twebwe bo oya iki ariko kubera hamwe kuva""".split()),
+    "sa": frozenset("""च एकः अयम् अहम् त्वम् सः वयम् ते न किम् परन्तु कृते सह तः अस्ति आसीत्""".split()),
+    "sd": frozenset("""۽ هڪ هي مان تون هو اسان توهان اهي نه ڇا پر لاءِ سان کان آهي هو""".split()),
+    "si": frozenset("""සහ එක මේ මම ඔයා ඔහු අපි ඔවුන් නැහැ මොකක්ද නමුත් සඳහා සමඟ සිට""".split()),
+    "sk": frozenset("""a v na je sa nie ja ty on ona my vy oni toto že ale pre s od do""".split()),
+    "sl": frozenset("""in v na je se ne jaz ti on ona mi vi oni to da ampak za z od do""".split()),
+    "sm": frozenset("""ma se i le ou oe ia matou latou lenei leai ae mo faatasi mai""".split()),
+    "sn": frozenset("""uye imwe iyi ini iwe iye isu ivo kwete chii asi nokuti ne kubva""".split()),
+    "so": frozenset("""iyo mid kan aniga adiga isaga annaga iyaga ma maxay laakiin u la ka waa""".split()),
+    "sq": frozenset("""dhe një të në me për nga është janë unë ti ai ajo ne ju ata kjo ky që por""".split()),
+    "sr": frozenset("""и у на је се да не ја ти он она ми ви они ово то што али за са од""".split()),
+    "su": frozenset("""jeung hiji ieu abdi anjeun anjeunna urang maranehna henteu naon tapi pikeun sareng ti""".split()),
+    "sw": frozenset("""na moja hii mimi wewe yeye sisi wao si nini lakini kwa pamoja kutoka ni alikuwa""".split()),
+    "ta": frozenset("""மற்றும் ஒரு இந்த நான் நீ அவன் நாம் அவர்கள் இல்லை என்ன ஆனால் க்காக உடன் இருந்து""".split()),
+    "te": frozenset("""మరియు ఒక ఈ నేను నువ్వు అతను మేము వారు లేదు ఏమి కానీ కోసం తో నుండి ఉంది""".split()),
+    "tg": frozenset("""ва як ин ман ту ӯ мо шумо онҳо не чӣ аммо барои бо аз аст буд""".split()),
+    "ti": frozenset("""እና ሓደ እዚ ኣነ ንስኻ ንሱ ንሕና ንሳቶም ኣይኮነን እንታይ ግን ንምእንቲ ምስ ካብ""".split()),
+    "tk": frozenset("""we bir bu ol men sen biz siz olar üçin diýip bar ýok emma bilen""".split()),
+    "tl": frozenset("""ang ng sa at ako ikaw siya kami sila ito iyan hindi may para kung""".split()),
+    "tt": frozenset("""һәм бер бу ул мин син без сез алар өчен дип бар иде юк ләкин""".split()),
+    "ug": frozenset("""ۋە بىر بۇ ئۇ مەن سەن بىز سىلەر ئۇلار ئۈچۈن دەپ بار يوق لېكىن""".split()),
+    "ur": frozenset("""اور ایک یہ میں تم وہ ہم آپ نہیں کیا لیکن لیے ساتھ سے ہے تھا کے کو پر""".split()),
+    "uz": frozenset("""va bir bu u men sen biz siz ular uchun deb bor edi yo'q lekin bilan""".split()),
+    "wo": frozenset("""ak benn bii man yow moom nun ñoom déedéet lan waaye ngir ak ci""".split()),
+    "yi": frozenset("""און א די דער דאס איך דו ער זי מיר איר זיי נישט וואס אבער פאר מיט פון""".split()),
+    "yo": frozenset("""ati ọkan yi emi iwọ oun awa wọn ko kini ṣugbọn fun pẹlu lati ni jẹ""".split()),
+    "zu": frozenset("""futhi eyodwa lokhu mina wena yena thina bona cha yini kodwa ngoba nge kusuka""".split()),
+}
+ALL_STOPWORDS.update(_EXTENDED)
+
 STOPWORDS_ALL: frozenset[str] = frozenset().union(*ALL_STOPWORDS.values())
 
 
