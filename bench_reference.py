@@ -37,8 +37,17 @@ def _stub_transformers():
     fake = types.ModuleType("transformers")
 
     class _FakeTok:
+        """The SAME deterministic subword model our engine uses
+        (kawa_ray/functions/cjk_subword.py) — both engines segment CJK
+        identically, so parity measures tagging, not tokenizer drift."""
+
+        def __init__(self):
+            from kawa_ray.functions.cjk_subword import FixtureSubwordTokenizer
+
+            self._tok = FixtureSubwordTokenizer()
+
         def tokenize(self, w):
-            return list(w)
+            return self._tok.tokenize(w)
 
     class AutoTokenizer:  # noqa: D401 - mimics the real surface
         @staticmethod
@@ -83,20 +92,43 @@ def run_parity(n_docs: int = 500) -> dict:
     om.add_to_ontology([[w, lab] for w, lab, *_ in roster_word2ner(build_roster(300))])
     lex, _ = default_artifacts(300)
     gen = PageGenerator(300)
-    agree = tot_ref = tot_ours = 0
+    from kawa_ray.functions.text import lang_is_cjk
+
+    import re as _re
+
+    # the reference's digit-folded exact dict emits bare-number mentions
+    # (digit-noise, see module docstring) — excluded from BOTH sides so
+    # the metric measures entity tagging, not that artifact
+    _digit_norm = _re.compile(r"^[\d_]+$")
+    stats = {True: [0, 0, 0], False: [0, 0, 0]}  # is_cjk -> [agree, ref, ours]
     for i in range(n_docs):
         row, _m = gen.render(i)
-        ref = {normalize_surface(k[0]) for k in om.tokenize(row["text"])["chunk2ner"]}
-        ours = {normalize_surface(sf) for sf, *_ in lex.detect(row["text"], lang=row["lang"])}
-        agree += len(ref & ours)
-        tot_ref += len(ref)
-        tot_ours += len(ours)
+        ref = {n for n in (normalize_surface(k[0]) for k in om.tokenize(row["text"])["chunk2ner"])
+               if not _digit_norm.match(n)}
+        ours = {n for n in (normalize_surface(sf) for sf, *_ in lex.detect(row["text"], lang=row["lang"]))
+                if not _digit_norm.match(n)}
+        b = stats[lang_is_cjk(row["lang"])]
+        b[0] += len(ref & ours)
+        b[1] += len(ref)
+        b[2] += len(ours)
+    agree, tot_ref, tot_ours = (sum(stats[k][j] for k in stats) for j in range(3))
+
+    def block(b):
+        return {
+            "micro_recall_of_reference_mentions": round(b[0] / max(b[1], 1), 4),
+            "micro_precision_vs_reference": round(b[0] / max(b[2], 1), 4),
+            "reference_mentions": b[1],
+            "ours_mentions": b[2],
+        }
+
     return {
         "n_docs": n_docs,
         "micro_recall_of_reference_mentions": round(agree / max(tot_ref, 1), 4),
         "micro_precision_vs_reference": round(agree / max(tot_ours, 1), 4),
         "reference_mentions": tot_ref,
         "ours_mentions": tot_ours,
+        "cjk": block(stats[True]),
+        "non_cjk": block(stats[False]),
     }
 
 

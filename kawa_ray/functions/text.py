@@ -56,19 +56,54 @@ def lang_is_cjk(lang: str) -> bool:
 
 
 def cjk_segment_word(word: str, connector: str = CONNECTOR) -> str:
-    """Split CJK code points into connector-joined units, leaving non-CJK
-    runs intact.  Replaces the reference's mt5 subword pass
-    (ontology_manager.py:624-628) — see module docstring."""
-    parts = [p for p in _CJK_CHAR.split(word) if p]
-    return connector.join(parts).replace(connector + connector, connector).strip(connector)
+    """Subword-segment a CJK word, connector-joined — the reference's
+    ``cjk_tokenize_word`` (ontology_manager.py:624-628) with the same
+    join/collapse/strip sequence; the tokenizer is the real mt5 when
+    transformers is installed, else the deterministic fixture subword
+    model (functions/cjk_subword.py)."""
+    from kawa_ray.functions.cjk_subword import MT5_UNDERSCORE, get_cjk_tokenizer
+
+    tok = get_cjk_tokenizer()
+    return (
+        "_".join(tok.tokenize(word))
+        .replace(MT5_UNDERSCORE, "_")
+        .replace("__", "_")
+        .replace("__", "_")
+        .strip("_")
+    )
 
 
 def cjk_segment_text(text: str) -> str:
-    """Space-separate CJK code points in running text so the whitespace
-    tokenizer sees them as words (reference cjk_tokenize_text,
-    ontology_manager.py:631-653)."""
-    parts = [p for p in _CJK_CHAR.split(text) if p]
-    return " ".join(p.strip() for p in parts if p.strip())
+    """Subword-segment running CJK text so the whitespace tokenizer sees
+    subword units as words — the reference's ``cjk_tokenize_text``
+    (ontology_manager.py:631-653) incl. its rejoin of consecutive
+    non-CJK pieces (space-joined after a strip char, concatenated
+    otherwise)."""
+    from kawa_ray.config import STRIP_CHARS_SET
+    from kawa_ray.functions.cjk_subword import MT5_UNDERSCORE, get_cjk_tokenizer
+
+    tok = get_cjk_tokenizer()
+    words = tok.tokenize(text.replace("_", " ").replace("  ", " ").strip())
+    words2: list[str] = []
+    for word in words:
+        if not words2:
+            words2.append(word)
+            continue
+        if not cjk_detect(word):
+            if not cjk_detect(words2[-1]):
+                if words2[-1] in STRIP_CHARS_SET:
+                    words2[-1] += " " + word
+                else:
+                    words2[-1] += word
+                continue
+        words2.append(word)
+    return (
+        " ".join(words2)
+        .replace(MT5_UNDERSCORE, " ")
+        .replace("  ", " ")
+        .replace("  ", " ")
+        .strip()
+    )
 
 
 def canonical_word(

@@ -294,7 +294,7 @@ def generate_pages(n_pages: int, n_entities: int = 300,
 
 SF_TO_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000, "0.4": 200000, "1.6": 800000}
 CACHE_DIR = os.environ.get("KAWA_PAGES_DIR", "/tmp/kawa_ray_pages")
-_GEN_VERSION = "v4"  # bump when generator output changes
+_GEN_VERSION = "v5"  # v5: subword CJK norms  # bump when generator output changes
 
 
 def sf_of_dir(sf_dir: str) -> str:

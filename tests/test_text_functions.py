@@ -44,7 +44,9 @@ class TestCanonical:
 
     def test_cjk_segmented(self):
         w, arr = canonical_word("奥巴马")
-        assert w == "奥_巴_马" and arr == ["奥", "巴", "马"]
+        # subword units (fixture vocab), connector-joined and lossless
+        assert w.replace("_", "") == "奥巴马" and len(arr) >= 2
+        assert w == "_".join(arr)
 
 
 class TestShingles:
@@ -77,7 +79,28 @@ class TestCjk:
         assert cjk_detect("plain latin") is None
 
     def test_segment_text(self):
-        assert cjk_segment_text("abc奥巴马 def") == "abc 奥 巴 马 def"
+        # subword units (deterministic fixture vocab): non-CJK runs stay
+        # whole, CJK runs split into 1-3 codepoint pieces, and the
+        # reassembly drops no characters
+        out = cjk_segment_text("abc奥巴马 def")
+        assert out.split()[0] == "abc" and out.split()[-1] == "def"
+        assert out.replace(" ", "") == "abc奥巴马def"
+
+    def test_segment_word_stable_and_reversible(self):
+        from kawa_ray.functions.text import cjk_segment_word
+
+        a = cjk_segment_word("市场报告")
+        assert a == cjk_segment_word("市场报告")
+        assert a.replace("_", "") == "市场报告"
+        assert "_" in a  # genuinely segmented
+
+    def test_word_and_text_segmentation_agree(self):
+        # lexicon build (word path) and detection (text path) must
+        # produce identical units for the same CJK surface
+        from kawa_ray.functions.text import cjk_segment_word
+
+        w = "田中角栄"
+        assert cjk_segment_word(w).split("_") == cjk_segment_text(w).split()
 
 
 class TestStrsim:
