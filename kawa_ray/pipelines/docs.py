@@ -413,9 +413,17 @@ def _partitioned_band_pairs(banded, key_col: str, max_members: int,
         banded.map_batches(addpart, batch_format="pandas")
         .groupby("part")
         .map_groups(explode, batch_format="pandas")
+        .materialize()
     )
     # dedup across bands: same pair can surface from bands routed to
-    # different partitions — repartition on `a` and drop within partition
+    # different partitions.  Below the driver threshold one pandas
+    # drop_duplicates beats a whole extra shuffle (~1s fixed cost); the
+    # distributed repartition-on-a path is the scale fallback — both
+    # orders produce the identical pair set.
+    import ray.data as _rd
+
+    if pairs.count() <= _DRIVER_EDGE_THRESHOLD:
+        return _rd.from_pandas(pairs.to_pandas().drop_duplicates(["a", "b"]))
     return (
         pairs.map_batches(
             lambda df: df.assign(part=df["a"].to_numpy() % P), batch_format="pandas"
@@ -469,8 +477,10 @@ def _verified_edges(sf_dir: str, cand: rd.Dataset, n: int,
     driver loop over pairs, no driver-held text dict (the round-1 shape
     flagged in VERDICT.md item 5).  Returns a Dataset (a, b)."""
     cand = cand.materialize()
-    cand_rows = cand.take_all()
-    ends = {int(r["a"]) for r in cand_rows} | {int(r["b"]) for r in cand_rows}
+    # to_pandas, NOT take_all: take_all converts to per-row Python dicts
+    # at ~0.8 ms/row (20s for 26k rows measured) — to_pandas is zero-copy
+    cand_pd = cand.to_pandas()
+    ends = set(cand_pd["a"].tolist()) | set(cand_pd["b"].tolist())
     if not ends:
         return cand.select_columns(["a", "b"])
     gram_ds = _candidate_gram_sets(sf_dir, ends, n)
@@ -552,9 +562,8 @@ def _edges_census(sf_dir: str, edges: rd.Dataset) -> pd.DataFrame:
     if n_edges == 0:
         n_nodes, n_comp = 0, 0
     elif n_edges <= _DRIVER_EDGE_THRESHOLD:
-        groups = union_find_components(
-            (r["a"], r["b"]) for r in edges_s.iter_rows()
-        )
+        edf = edges_s.to_pandas()  # edges-space; NOT iter_rows (per-row cost)
+        groups = union_find_components(zip(edf["a"], edf["b"]))
         n_nodes = len(groups)
         n_comp = len(set(groups.values()))
     else:

@@ -209,8 +209,11 @@ def cluster_norms(scored: rd.Dataset, nodes: rd.Dataset, cfg: LinkageConfig) -> 
     """S6: edges above threshold -> norm -> cluster id (driver union-find;
     edge stream is distinct-surface sized)."""
     edges = scored.filter(expr=f"score >= {cfg.edge_threshold}")
-    edge_list = [(r["a"], r["b"]) for r in edges.select_columns(["a", "b"]).take_all()]
-    all_norms = [r["norm"] for r in nodes.select_columns(["norm"]).take_all()]
+    # to_pandas, not take_all: take_all builds per-row Python dicts at
+    # ~0.8 ms/row — distinct-surface-sized collections still pay seconds
+    edf = edges.select_columns(["a", "b"]).to_pandas()
+    edge_list = list(zip(edf["a"], edf["b"]))
+    all_norms = nodes.select_columns(["norm"]).to_pandas()["norm"].tolist()
     return union_find_components(edge_list, all_norms)
 
 

@@ -174,10 +174,8 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 def nation_customer_balance(sf_dir: str):
     """Broadcast dimension join (nation) + grouped aggregate."""
-    nat = {
-        r["n_nationkey"]: r["n_name"]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    }
+    _ndf = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = dict(zip(_ndf["n_nationkey"], _ndf["n_name"]))
     nat_ref = ray.put(nat)
     cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
@@ -424,16 +422,12 @@ def region_revenue(sf_dir: str):
     streams."""
     import ray
 
-    region = {r["r_regionkey"]: r["r_name"]
-              for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()}
-    nation2region = {
-        r["n_nationkey"]: region[r["n_regionkey"]]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
-    }
-    cust2nation = {
-        r["c_custkey"]: r["c_nationkey"]
-        for r in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
-    }
+    _rdf = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region = dict(zip(_rdf["r_regionkey"], _rdf["r_name"]))
+    _n2 = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    nation2region = {k: region[r] for k, r in zip(_n2["n_nationkey"], _n2["n_regionkey"])}
+    _c2 = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust2nation = dict(zip(_c2["c_custkey"], _c2["c_nationkey"]))
     maps_ref = ray.put((nation2region, cust2nation))
 
     def partial(t: pa.Table, _ref=maps_ref) -> pa.Table:

@@ -264,10 +264,13 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None, train_iters: int = 5,
         )
         return t.filter(mask)
 
-    samp_rows = ds.map_batches(keep_sample, batch_format="pyarrow").take_all()
-    samp_rows.sort(key=lambda r: r["vec_id"])
-    S = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in samp_rows[:max_train]])
+    samp_df = (
+        ds.map_batches(keep_sample, batch_format="pyarrow")
+        .to_pandas()  # bounded sample; to_pandas (take_all costs ~0.8ms/row)
+        .sort_values("vec_id")
+        .head(max_train)
+    )
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in samp_df["embedding"]])
     Sn = S / np.clip(np.linalg.norm(S, axis=1, keepdims=True), 1e-12, None)
     Cn = Sn[:: max(1, len(Sn) // n_cells)][:n_cells].copy()
     for _ in range(train_iters):  # spherical k-means on the sample

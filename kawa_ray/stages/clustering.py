@@ -107,7 +107,8 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
     for _ in range(max_rounds):
         # join edge endpoints with current labels (broadcast: label table is
         # node-space sized; at true scale this becomes a bucketed join)
-        lab = {r["node"]: r["label"] for r in labels.take_all()}
+        _ldf = labels.to_pandas()  # to_pandas, not take_all (per-row dict cost)
+        lab = dict(zip(_ldf["node"], _ldf["label"]))
         lab_ref = ray.put(lab)
 
         def relabel(batch: pa.Table, _ref=lab_ref) -> pa.Table:
@@ -131,7 +132,8 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
             )
             .materialize()
         )
-        new_lab = {r["node"]: r["label"] for r in new_labels.take_all()}
+        _ndf = new_labels.to_pandas()
+        new_lab = dict(zip(_ndf["node"], _ndf["label"]))
         if new_lab == lab:
             labels = new_labels
             break
