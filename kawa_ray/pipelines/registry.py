@@ -9,7 +9,7 @@ their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, er_queries, media, relational, vectors, word2ner_fix
+from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, media, relational, vectors, word2ner_fix
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
 from kawa_ray.state.multilingual_map import MULTILINGUAL_MAP_SQL, multilingual_map
 
@@ -77,6 +77,8 @@ QUERIES = {
     "word2ner_fix": word2ner_fix.word2ner_fix,
     # B12 en->lang projection over the translation fixture graph
     "multilingual_map": multilingual_map,
+    # K7 embedding-space alignment (merge_with)
+    "embed_space_merge": embed_merge.embed_space_merge,
 }
 
 ORACLE_SQL = {
