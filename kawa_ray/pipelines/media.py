@@ -48,9 +48,56 @@ def media_feature_census(sf_dir: str):
         )
         .to_pandas()
     )
+    import numpy as np
+
     for c in ("avg_width", "avg_height"):
-        out[c] = out[c].round(3)
+        # floor discretisation, not round: Python/pandas round half-even,
+        # SQL ROUND half-away — floor matches bit-for-bit on both sides
+        out[c] = np.floor(out[c] * 1000) / 1000
     return out.sort_values("media_type").reset_index(drop=True)
+
+
+# header fields regenerate in SQL from md5_number_lower (the payload
+# derivation in stages/multimodal.py); video n_frames applies the
+# extractor's frame_stride=4 sampling ((raw+3)//4)
+_MEDIA_FIELDS_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS kind,
+         md5_number_lower('media:' || CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(doc_id % 3 AS VARCHAR)) AS v
+  FROM documents
+), f AS (
+  SELECT media_id,
+         CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         16 + CAST((v & 255) AS BIGINT) % 240 AS width,
+         16 + CAST(((v >> 8) & 255) AS BIGINT) % 240 AS height,
+         CASE WHEN kind = 2
+              THEN CAST(FLOOR((2 + CAST(((v >> 24) & 255) AS BIGINT) % 30 + 3)
+                              / 4) AS BIGINT)
+              WHEN kind = 1 THEN 2 + CAST(((v >> 24) & 255) AS BIGINT) % 30
+              ELSE 1 END AS n_frames,
+         12 + 64 + CAST(((v >> 32) & 255) AS BIGINT) % 192 AS n_bytes
+  FROM m
+)
+"""
+
+MEDIA_FEATURE_CENSUS_SQL = _MEDIA_FIELDS_SQL + """
+SELECT media_type, COUNT(*) AS n_items,
+       FLOOR(AVG(width) * 1000) / 1000 AS avg_width,
+       FLOOR(AVG(height) * 1000) / 1000 AS avg_height,
+       CAST(MAX(n_frames) AS INT) AS max_frames,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM f GROUP BY media_type ORDER BY media_type
+"""
+
+MEDIA_RESIZE_SQL = _MEDIA_FIELDS_SQL + """
+SELECT media_type,
+       CAST(SUM(CASE WHEN GREATEST(width, height) > 64 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resized,
+       COUNT(*) AS n_items
+FROM f GROUP BY media_type ORDER BY media_type
+"""
 
 
 def media_resize_plan(sf_dir: str, max_side: int = 64):

@@ -119,4 +119,6 @@ ORACLE_SQL = {
     "embedding_centroids": vectors.EMBEDDING_CENTROIDS_SQL,
     "word2ner_fix": word2ner_fix.WORD2NER_FIX_SQL,
     "multilingual_map": MULTILINGUAL_MAP_SQL,
+    "media_feature_census": media.MEDIA_FEATURE_CENSUS_SQL,
+    "media_resize_plan": media.MEDIA_RESIZE_SQL,
 }

@@ -52,14 +52,20 @@ FEATURE_SCHEMA = pa.schema(
 
 
 def fake_media_payload(media_id: int, kind: int) -> bytes:
-    """Deterministic fake payload; dims/frames derive from the id hash."""
-    h = hashlib.blake2b(f"media:{media_id}:{kind}".encode(), digest_size=16).digest()
-    width = 16 + h[0] % 240
-    height = 16 + h[1] % 240
-    channels = 1 + h[2] % 3 if kind == KIND_IMAGE else (1 if kind == KIND_AUDIO else 3)
-    n_frames = 1 if kind == KIND_IMAGE else 2 + h[3] % 30
-    body_len = 64 + h[4] % 192
-    body = (hashlib.blake2b(h, digest_size=32).digest() * ((body_len // 32) + 1))[:body_len]
+    """Deterministic fake payload; header fields derive from the low 8
+    md5 bytes (little-endian == DuckDB ``md5_number_lower``) so the
+    media-census queries carry exact SQL oracles."""
+    v = struct.unpack(
+        "<Q", hashlib.md5(f"media:{media_id}:{kind}".encode()).digest()[8:]
+    )[0]
+    b = [(v >> (8 * i)) & 0xFF for i in range(5)]
+    width = 16 + b[0] % 240
+    height = 16 + b[1] % 240
+    channels = 1 + b[2] % 3 if kind == KIND_IMAGE else (1 if kind == KIND_AUDIO else 3)
+    n_frames = 1 if kind == KIND_IMAGE else 2 + b[3] % 30
+    body_len = 64 + b[4] % 192
+    seed = hashlib.blake2b(f"mediabody:{media_id}:{kind}".encode(), digest_size=32).digest()
+    body = (seed * ((body_len // 32) + 1))[:body_len]
     return MAGIC + struct.pack("<BHHBH", kind, width, height, channels, n_frames) + body
 
 
