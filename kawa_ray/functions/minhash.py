@@ -43,6 +43,13 @@ def hash64(s: str) -> int:
     return struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
 
 
+def md5_low64(s: str) -> int:
+    """Low 8 md5 bytes little-endian — bit-identical to DuckDB's
+    ``md5_number_lower``, so sketches built on it carry exact SQL
+    oracles (the near-dup census suite and the HLL use this)."""
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:])[0]
+
+
 def char_shingles(s: str, k: int = 3) -> list[str]:
     if len(s) <= k:
         return [s] if s else []
@@ -55,12 +62,13 @@ def word_ngrams(tokens: list[str], n: int = 3) -> list[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
-def minhash_signature(shingles: list[str], num_perm: int = 32, seed: int = _SEED) -> np.ndarray:
+def minhash_signature(shingles: list[str], num_perm: int = 32, seed: int = _SEED,
+                      hash_fn=hash64) -> np.ndarray:
     """uint64 signature of length num_perm (max-filled when empty)."""
     if not shingles:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     a, b = perm_params(num_perm, seed)
-    hv = np.fromiter((hash64(s) for s in set(shingles)), dtype=np.uint64)
+    hv = np.fromiter((hash_fn(s) for s in set(shingles)), dtype=np.uint64)
     # (a * h + b) mod p, vectorised over perms x shingles
     prod = (a[:, None] * (hv[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
     return prod.min(axis=1).astype(np.uint64)
@@ -84,13 +92,13 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def simhash64(tokens: list[str]) -> int:
+def simhash64(tokens: list[str], hash_fn=hash64) -> int:
     """64-bit SimHash over token hashes (Charikar 2002)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for t in tokens:
-        h = hash64(t)
+        h = hash_fn(t)
         bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
         acc += bits.astype(np.int64) * 2 - 1
     out = 0

@@ -25,6 +25,7 @@ from kawa_ray.functions.minhash import (
     hamming64,
     hash64,
     lsh_band_keys,
+    md5_low64,
     minhash_signature,
     simhash64,
     simhash_band_keys,
@@ -454,7 +455,7 @@ def _candidate_gram_sets(sf_dir: str, ids: set, n: int) -> rd.Dataset:
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
-            hs = sorted({hash64(g) for g in word_ngrams(toks, n)})
+            hs = sorted({md5_low64(g) for g in word_ngrams(toks, n)})
             out_id.append(doc_id)
             # packed uint64 blob: survives pandas<->arrow round-trips that
             # mangle ragged list columns (Ray TensorArray)
@@ -593,7 +594,7 @@ def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
             sh = word_ngrams(toks, 3)
-            s = minhash_signature(sh, num_perm)
+            s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
             for b in lsh_band_keys(s, bands):
                 out_doc.append(doc_id)
                 out_band.append(b)
@@ -616,7 +617,7 @@ def simhash_dedup_docs(sf_dir: str, max_hamming: int = 6):
         out_doc, out_band, out_h = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
-            h = simhash64(toks)
+            h = simhash64(toks, hash_fn=md5_low64)
             for b in simhash_band_keys(h, 4):
                 out_doc.append(doc_id)
                 out_band.append(b)
@@ -649,7 +650,7 @@ def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
         out_doc, out_key = [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
-            hs = sorted(hash64(g) for g in set(word_ngrams(toks, n)))
+            hs = sorted(md5_low64(g) for g in set(word_ngrams(toks, n)))
             for h in hs[:n_keys]:
                 out_doc.append(doc_id)
                 out_key.append(h)
@@ -753,3 +754,203 @@ WHERE doc_id % 20 = 0
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ------------------------------------------ near-dup census SQL oracles
+#
+# The dedup suite's sketches are built on md5-low64 (== DuckDB
+# md5_number_lower), fixed inlined permutation constants, and
+# group-equality band keys — every step of blocking, verification,
+# components and census is therefore exactly reproducible in SQL.  The
+# Python band keys hash their chunk (partitioning concern only); the
+# oracles group by the raw chunk values, which is the same equivalence
+# relation.
+
+def _grams_cte(n: int = 3) -> str:
+    """toks + word-n-gram (set semantics) CTEs, exactly mirroring
+    ``_WS.split(text.lower().strip())`` + ``word_ngrams``."""
+    concat = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, UNNEST(gs) AS g FROM (
+    SELECT doc_id,
+           CASE WHEN LEN(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN LEN(t) <= {n} THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, LEN(t) - {n - 2}), i -> {concat})
+                END AS gs
+    FROM toks
+  ) q
+)"""
+
+
+def _verify_census_sql(threshold: float) -> str:
+    """exact-Jaccard verify over ``cand(a, b)`` + min-label closure +
+    census — shared tail of all three oracles."""
+    return f"""
+, gsizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+), edges AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN gsizes sa ON sa.doc_id = i.a
+  JOIN gsizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+), adj AS (
+  SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT x AS node, x AS lbl FROM adj
+  UNION
+  SELECT adj.y AS node, r.lbl FROM reach r JOIN adj ON adj.x = r.node
+  WHERE r.lbl < adj.y
+), comp AS (
+  SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM comp) AS n_nodes,
+         (SELECT COUNT(DISTINCT lbl) FROM comp) AS n_comp
+)
+SELECT n_docs, n_docs - n_nodes + n_comp AS n_groups,
+       n_nodes - n_comp AS n_duplicates
+FROM stats
+"""
+
+
+def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.8, n_keys: int = 2,
+                       max_members: int = 500) -> str:
+    return f"""
+WITH RECURSIVE {_grams_cte(n)}
+, ghash AS (
+  SELECT doc_id, md5_number_lower(g) AS h FROM grams
+), keys2 AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM ghash
+  ) WHERE rn <= {n_keys}
+), seg AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n FROM keys2 GROUP BY h
+), cand AS (
+  SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b
+  FROM keys2 k1
+  JOIN keys2 k2 ON k1.h = k2.h AND k1.doc_id < k2.doc_id
+  JOIN seg ON seg.h = k1.h
+  WHERE seg.n BETWEEN 2 AND {max_members}
+){_verify_census_sql(threshold)}
+"""
+
+
+def _minhash_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.8,
+                 max_members: int = 200) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_grams_cte(3)}
+, perms(i, pa, pb) AS (VALUES {perm_rows})
+, hm AS (
+  SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams
+), sig AS (
+  -- numpy uint64 wraparound semantics: (a*h mod 2^64 + b) mod 2^64 mod p
+  SELECT doc_id, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rows_per_band}
+), seg AS (
+  SELECT band, bkey, COUNT(DISTINCT doc_id) AS n FROM bands GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1
+  JOIN bands b2 ON b1.band = b2.band AND b1.bkey = b2.bkey
+                AND b1.doc_id < b2.doc_id
+  JOIN seg ON seg.band = b1.band AND seg.bkey = b1.bkey
+  WHERE seg.n BETWEEN 2 AND {max_members}
+){_verify_census_sql(threshold)}
+"""
+
+
+def _simhash_sql(max_hamming: int = 6, max_members: int = 2000) -> str:
+    # acc index i reads bit 8*(i//8) + 7 - i%8 of the token hash
+    # (np.unpackbits is MSB-first per little-endian byte)
+    bit_rows = ",".join(
+        f"({i},{8 * (i // 8) + 7 - i % 8})" for i in range(64)
+    )
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(UNNEST(t)) AS h FROM toks
+), bitdef(i, n) AS (VALUES {bit_rows})
+, acc AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (h >> b.n) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN bitdef b GROUP BY doc_id, b.i
+), bit AS (
+  SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS v FROM acc
+), bandkey AS (
+  SELECT doc_id, i // 16 AS band,
+         SUM(v * (1 << (i % 16))) AS bkey
+  FROM bit GROUP BY doc_id, i // 16
+), seg AS (
+  SELECT band, bkey, COUNT(DISTINCT doc_id) AS n FROM bandkey GROUP BY 1, 2
+), candraw AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bandkey b1
+  JOIN bandkey b2 ON b1.band = b2.band AND b1.bkey = b2.bkey
+                  AND b1.doc_id < b2.doc_id
+  JOIN seg ON seg.band = b1.band AND seg.bkey = b1.bkey
+  WHERE seg.n BETWEEN 2 AND {max_members}
+), ham AS (
+  SELECT c.a, c.b, SUM(CASE WHEN ba.v <> bb.v THEN 1 ELSE 0 END) AS d
+  FROM candraw c
+  JOIN bit ba ON ba.doc_id = c.a
+  JOIN bit bb ON bb.doc_id = c.b AND bb.i = ba.i
+  GROUP BY c.a, c.b
+), edges AS (
+  SELECT a, b FROM ham WHERE d <= {max_hamming}
+), adj AS (
+  SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT x AS node, x AS lbl FROM adj
+  UNION
+  SELECT adj.y AS node, r.lbl FROM reach r JOIN adj ON adj.x = r.node
+  WHERE r.lbl < adj.y
+), comp AS (
+  SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM comp) AS n_nodes,
+         (SELECT COUNT(DISTINCT lbl) FROM comp) AS n_comp
+)
+SELECT n_docs, n_docs - n_nodes + n_comp AS n_groups,
+       n_nodes - n_comp AS n_duplicates
+FROM stats
+"""
+
+
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
+MINHASH_DEDUP_SQL = _minhash_sql()
+SIMHASH_DEDUP_SQL = _simhash_sql()

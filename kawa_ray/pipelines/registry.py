@@ -119,6 +119,9 @@ ORACLE_SQL = {
     "embedding_centroids": vectors.EMBEDDING_CENTROIDS_SQL,
     "word2ner_fix": word2ner_fix.WORD2NER_FIX_SQL,
     "multilingual_map": MULTILINGUAL_MAP_SQL,
+    "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,
+    "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
+    "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
     "media_feature_census": media.MEDIA_FEATURE_CENSUS_SQL,
     "media_resize_plan": media.MEDIA_RESIZE_SQL,
 }
