@@ -225,39 +225,70 @@ def er_mention_eval(sf_dir: str):
         {"PERSON", "PUBLIC_FIGURE", "ORG", "GPE", "LOC", "PRODUCT"}
     )
 
+    import pandas as pd_
+
+    from kawa_ray.functions.minhash import hash64
+
     sf = sf_of_dir(sf_dir)
     pages_dir = ensure_pages(sf)
     _, res = _linked(sf_dir)
 
-    gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"),
-                         columns=["url", "norm"])
-    gold_sets: dict[str, set] = {}
-    for url, norm in zip(gold.column("url").to_pylist(), gold.column("norm").to_pylist()):
-        gold_sets.setdefault(url, set()).add(norm)
-    gold_ref = ray.put(gold_sets)
+    # url-keyed hash-partition join of predictions, gold rows and the
+    # per-page lang — NOT a broadcast gold dict (round-1 VERDICT item 9):
+    # exact per-doc sets even when a doc's mentions span blocks, and
+    # gold-only docs (zero predictions) still contribute their fn.
+    P = 64
 
-    def compare(t: pa.Table, _ref=gold_ref) -> pa.Table:
-        gs = ray.get(_ref)
-        per_doc: dict[str, tuple[str, set]] = {}
-        for url, norm, label, lang in zip(
-            t.column("url").to_pylist(), t.column("norm").to_pylist(),
-            t.column("label").to_pylist(), t.column("lang").to_pylist(),
-        ):
-            if label not in ROSTER_LABELS:
-                continue  # relevant-tag filter (eval.py:76-88)
-            per_doc.setdefault(url, (lang, set()))[1].add(norm)
+    def pred_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t.column("label"),
+                              pa.array(sorted(ROSTER_LABELS))))
+        return pa.table({
+            "url": t.column("url"),
+            "norm": pc.cast(t.column("norm"), pa.string()),
+            "kind": pa.array(["pred"] * t.num_rows, pa.string()),
+        })
+
+    gold_ds = rd.read_parquet(
+        os.path.join(pages_dir, "gold_mentions.parquet"), columns=["url", "norm"]
+    ).map_batches(
+        lambda t: pa.table({"url": t.column("url"), "norm": t.column("norm"),
+                            "kind": pa.array(["gold"] * t.num_rows, pa.string())}),
+        batch_format="pyarrow",
+    )
+    lang_ds = rd.read_parquet(
+        os.path.join(pages_dir, "pages"), columns=["url", "lang"]
+    ).map_batches(
+        lambda t: pa.table({"url": t.column("url"), "norm": t.column("lang"),
+                            "kind": pa.array(["lang"] * t.num_rows, pa.string())}),
+        batch_format="pyarrow",
+    )
+
+    def compare(g: pd_.DataFrame) -> pd_.DataFrame:
         out = {"lang": [], "tp": [], "fp": [], "fn": []}
-        for url, (lang, pred) in per_doc.items():
-            want = gs.get(url, set())
-            out["lang"].append(lang)
+        for _url, grp in g.groupby("url", sort=False):
+            pred = set(grp.loc[grp["kind"] == "pred", "norm"])
+            want = set(grp.loc[grp["kind"] == "gold", "norm"])
+            langs = grp.loc[grp["kind"] == "lang", "norm"]
+            if langs.empty or (not pred and not want):
+                continue
+            out["lang"].append(langs.iloc[0])
             out["tp"].append(len(pred & want))
             out["fp"].append(len(pred - want))
             out["fn"].append(len(want - pred))
-        return pa.Table.from_pydict(out)
+        return pd_.DataFrame(out)
 
     agg = (
         res["mentions"]
-        .map_batches(compare, batch_format="pyarrow")
+        .map_batches(pred_rows, batch_format="pyarrow")
+        .union(gold_ds, lang_ds)
+        .map_batches(
+            lambda df: df.assign(part=[hash64(u) % P for u in df["url"]]),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(compare, batch_format="pandas")
         .groupby("lang")
         .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
                    Sum("fn", alias_name="fn"))
