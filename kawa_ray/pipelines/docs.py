@@ -478,10 +478,21 @@ def _verified_edges(sf_dir: str, cand: rd.Dataset, n: int,
     driver loop over pairs, no driver-held text dict (the round-1 shape
     flagged in VERDICT.md item 5).  Returns a Dataset (a, b)."""
     cand = cand.materialize()
-    # to_pandas, NOT take_all: take_all converts to per-row Python dicts
-    # at ~0.8 ms/row (20s for 26k rows measured) — to_pandas is zero-copy
-    cand_pd = cand.to_pandas()
-    ends = set(cand_pd["a"].tolist()) | set(cand_pd["b"].tolist())
+    if cand.count() <= _DRIVER_EDGE_THRESHOLD:
+        # to_pandas, NOT take_all (take_all costs ~0.8 ms/row)
+        cand_pd = cand.to_pandas()
+        ends = set(cand_pd["a"].tolist()) | set(cand_pd["b"].tolist())
+    else:
+        # above the threshold only the DISTINCT endpoints (candidate-doc
+        # space, not pair space) reach the driver for the broadcast filter
+        ends = set(
+            cand.map_batches(
+                lambda t: pa.table({"d": pa.concat_arrays([
+                    t.column("a").combine_chunks(),
+                    t.column("b").combine_chunks()])}),
+                batch_format="pyarrow",
+            ).unique("d")
+        )
     if not ends:
         return cand.select_columns(["a", "b"])
     gram_ds = _candidate_gram_sets(sf_dir, ends, n)
@@ -528,7 +539,10 @@ def _verified_edges(sf_dir: str, cand: rd.Dataset, n: int,
             sb = np.frombuffer(grp["grams"].iloc[1], dtype="<u8")
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            if union and inter / union >= threshold:
+            # union == 0 (two empty gram sets) is Jaccard 1.0 by the
+            # convention the round-1 verify used; unreachable while the
+            # banding stages skip zero-shingle docs
+            if union == 0 or inter / union >= threshold:
                 out_a.append(int(pid) >> 32)
                 out_b.append(int(pid) & ((1 << 32) - 1))
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
@@ -594,6 +608,9 @@ def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
             sh = word_ngrams(toks, 3)
+            if not sh:
+                continue  # no content, no near-dup semantics (and the SQL
+                # oracle's gram CTE has no rows for such docs either)
             s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
             for b in lsh_band_keys(s, bands):
                 out_doc.append(doc_id)
@@ -617,6 +634,8 @@ def simhash_dedup_docs(sf_dir: str, max_hamming: int = 6):
         out_doc, out_band, out_h = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
+            if not toks:
+                continue  # empty docs carry no signal (matches the SQL oracle)
             h = simhash64(toks, hash_fn=md5_low64)
             for b in simhash_band_keys(h, 4):
                 out_doc.append(doc_id)

@@ -95,9 +95,10 @@ def map_tokens(self_tokens: list[str], src_tokens: list[str],
         if t not in tok2id:
             t = "##" + t
         elif t in suffixes:
-            t = "##" + t  # ambiguous prefix/suffix -> suffix form wins
-            if t not in tok2id:
-                t = tok.strip()
+            # ambiguous prefix/suffix: the suffix form ALWAYS wins —
+            # created below if absent (reference :1775-1805 allocates a
+            # fresh ##-row rather than reusing the plain token's row)
+            t = "##" + t
         if t in tok2id:
             src2self[sid] = tok2id[t]
             continue
@@ -118,8 +119,11 @@ def merge_embedding_spaces(self_tokens: list[str], self_matrix: np.ndarray,
                            src_tokens: list[str], src_matrix: np.ndarray,
                            unused_rows: list[int] | None = None,
                            sweeps: int = 2, topk: int = 8,
-                           min_score: float = 0.01):
-    """-> (tokens, matrix, report dict).  See module docstring."""
+                           min_score: float = 0.01,
+                           pos_neighbors=None):
+    """-> (tokens, matrix, report dict).  See module docstring.
+    ``pos_neighbors`` lets callers reuse a precomputed positive top-k
+    pass (it is also the report's sanity-metric input)."""
     dim = self_matrix.shape[1]
     src2self, tokens, appended, recycled = map_tokens(
         self_tokens, src_tokens, unused_rows
@@ -129,12 +133,13 @@ def merge_embedding_spaces(self_tokens: list[str], self_matrix: np.ndarray,
     for rid in recycled:
         M[rid] = 0.0
 
-    pos = topk_neighbors(src_matrix, topk=topk, min_score=min_score)
+    pos = pos_neighbors if pos_neighbors is not None else topk_neighbors(
+        src_matrix, topk=topk, min_score=min_score
+    )
     neg = topk_neighbors(src_matrix, topk=topk, min_score=-np.inf, negate=True)
 
     zero = {i for i in range(len(tokens)) if not M[i].any()}
     synthesized: set[int] = set()
-    gpt_set_only: set[int] = set()
     for _ in range(sweeps):
         snap = M.copy()
         gpt_this_sweep: set[int] = set()
@@ -187,7 +192,6 @@ def merge_embedding_spaces(self_tokens: list[str], self_matrix: np.ndarray,
                 M[main] = 0.5 * snap[main] + 0.5 * agg
             else:
                 M[main] = 0.9 * snap[main] + 0.1 * agg
-        gpt_set_only |= gpt_this_sweep
     report = {
         "n_self": len(self_tokens),
         "n_src": len(src_tokens),
@@ -231,10 +235,10 @@ def embed_space_merge(sf_dir: str):
         else:
             src_tokens.append(f"srctok{int(vid)}")
 
-    tokens, M, report = merge_embedding_spaces(
-        self_tokens, self_M, src_tokens, src_M
-    )
     pos = topk_neighbors(src_M, topk=8, min_score=0.01)
+    tokens, M, report = merge_embedding_spaces(
+        self_tokens, self_M, src_tokens, src_M, pos_neighbors=pos
+    )
     src2self, _, _, _ = map_tokens(self_tokens, src_tokens)
     coss = []
     Mn = _normalize_rows(M)

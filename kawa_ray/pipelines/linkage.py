@@ -228,13 +228,25 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     if cfg.embedding_source == "context":
         # E1: span-pooled corpus context vectors (model encoder when
         # transformers is installed, FixtureEncoder otherwise) replace
-        # the roster alias table in the scoring channel
+        # the roster alias table in the scoring channel.  S1 extraction
+        # runs ONCE: the materialised texts feed both the embedding
+        # pass and mention detection.
+        from kawa_ray.state.lang_resources import target_lexicons_by_lang
         from kawa_ray.stages.embedding import context_embedding_artifact
 
+        texts = extract_stage(pages).materialize()
         embed_obj = context_embedding_artifact(
-            pages, lexicon, concurrency=_pool_size(cfg.detect_concurrency)
+            None, lexicon, concurrency=_pool_size(cfg.detect_concurrency),
+            texts_ds=texts,
         )
-    mentions = detect_mentions(pages, cfg, lexicon, n_entities).materialize()
+        lex_ref = ray.put(lexicon.to_bytes())
+        mentions = mention_stage(
+            texts, lex_ref, batch_size=cfg.detect_batch_size,
+            concurrency=_pool_size(cfg.detect_concurrency),
+            lang_lexicons=target_lexicons_by_lang(n_entities),
+        ).materialize()
+    else:
+        mentions = detect_mentions(pages, cfg, lexicon, n_entities).materialize()
     nodes = build_nodes(mentions).materialize()
     if nodes.count() <= cfg.driver_pair_threshold:
         # the whole post-mention graph phase lives in the distinct-surface

@@ -247,15 +247,18 @@ def merge_context_partials(partials, dim: int = EMBED_DIM,
 
 
 def context_embedding_artifact(pages_ds, lexicon, dim: int = EMBED_DIM,
-                               batch_size: int = 256, concurrency=2):
+                               batch_size: int = 256, concurrency=2,
+                               texts_ds=None):
     """pages -> PairScorer embedding artifact (norm2row, float32 matrix,
-    empty aux) from corpus contexts — the E1 operator end-to-end."""
+    empty aux) from corpus contexts — the E1 operator end-to-end.
+    Pass ``texts_ds`` (an already-extracted (url, text, lang) Dataset)
+    to avoid re-running S1 when the caller extracts anyway."""
     import ray
 
     from kawa_ray.stages.extract import extract_stage
 
     lex_ref = ray.put(lexicon.to_bytes())
-    texts = extract_stage(pages_ds)
+    texts = texts_ds if texts_ds is not None else extract_stage(pages_ds)
     partials = texts.map_batches(
         ContextEmbedder,
         fn_constructor_kwargs={"lexicon_ref": lex_ref, "dim": dim},

@@ -108,3 +108,16 @@ class TestTopkNeighbors:
         M = np.array([[1.0, 0], [0.9, 0.1], [-1.0, 0]])
         res = topk_neighbors(M, topk=1, min_score=-np.inf, negate=True)
         assert res[0][0][0] == 2  # most negative cosine vs row 0
+
+
+def test_suffix_form_created_when_absent():
+    # review finding: ambiguous suffix tokens must get a fresh ## row,
+    # never reuse the plain token's row (reference :1775-1805)
+    m, toks, app, rec = map_tokens(["ing", "##ing2", "run"], ["ing"])
+    # 'ing' is NOT a registered suffix here -> maps to plain row
+    assert m[0] == 0
+    m, toks, app, rec = map_tokens(["ing", "##ing", "run"], ["ing"])
+    assert toks[m[0]] == "##ing"  # existing suffix row wins
+    m, toks, app, rec = map_tokens(["ing", "##x", "x"], ["x"])
+    # 'x' is a known suffix (##x exists) -> suffix row, not plain 'x'
+    assert toks[m[0]] == "##x"
