@@ -691,3 +691,118 @@ FROM (
 WHERE rank <= 3
 ORDER BY user_id, rank
 """
+
+
+def events_window_counts(sf_dir: str, window_sec: int = 900):
+    """Tumbling-window aggregate: 15-minute windows per event_type —
+    the streaming-window operator shape (window key computed per batch,
+    partial counts combined, one small global groupby)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # resolution-agnostic epoch seconds (pandas may hand us ns OR us)
+        epoch = df["ts"].astype("datetime64[s]").astype("int64")
+        df["window_start"] = pd.to_datetime(
+            (epoch // window_sec) * window_sec, unit="s"
+        )
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("value", "size"), value_sum=("value", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+        .to_pandas()
+    )
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type,
+       to_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT) // 900) * 900)
+         AT TIME ZONE 'UTC' AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, window_start
+"""
+
+
+def purchase_asof_click(sf_dir: str, partitions: int = 64):
+    """AS-OF JOIN: each purchase event joins its user's most recent
+    click at-or-before the purchase timestamp — a custom operator Ray
+    Data lacks, built as a hash-partitioned co-partition on the join
+    key + in-partition per-user sort + ``searchsorted`` probe.
+
+    Partitioning assumption (documented per the brief): both sides are
+    co-partitioned by ``user_id`` and one user's click history fits a
+    worker's memory — the natural regime for per-user activity streams;
+    a hot user would be handled by splitting their clicks into sorted
+    runs, not by salting (as-of needs the full ordered history).
+    Aggregated per user so the result is small; DuckDB's native
+    ``ASOF JOIN`` is the oracle."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+    P = partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["purchase", "click"])]
+        return pa.table({
+            "user_id": pa.array(df["user_id"], pa.int64()),
+            "ts": pa.array(df["ts"].astype("int64")),  # us epoch
+            "is_purchase": pa.array(
+                (df["event_type"] == "purchase").astype("int8")
+            ),
+            "value": pa.array(df["value"], pa.float64()),
+            "part": pa.array(df["user_id"].astype("int64") % P),
+        })
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": [], "n_purchases": [], "n_matched": [],
+               "click_value_sum": []}
+        for uid, grp in g.groupby("user_id", sort=False):
+            clicks = grp[grp["is_purchase"] == 0].sort_values("ts")
+            purch = grp[grp["is_purchase"] == 1]
+            ct = clicks["ts"].to_numpy()
+            cv = clicks["value"].to_numpy()
+            # most recent click with click.ts <= purchase.ts (inclusive)
+            idx = np.searchsorted(ct, purch["ts"].to_numpy(), side="right") - 1
+            matched = idx >= 0
+            out["user_id"].append(int(uid))
+            out["n_purchases"].append(int(len(purch)))
+            out["n_matched"].append(int(matched.sum()))
+            out["click_value_sum"].append(
+                float(cv[idx[matched]].sum()) if matched.any() else 0.0
+            )
+        return pd.DataFrame(out)
+
+    out = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[out["n_purchases"] > 0]
+    out["click_value_sum"] = out["click_value_sum"].round(2)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+PURCHASE_ASOF_SQL = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.ts, c.value
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+       COUNT(value) AS n_matched,
+       ROUND(COALESCE(SUM(value), 0), 2) AS click_value_sum
+FROM j GROUP BY user_id ORDER BY user_id
+"""
