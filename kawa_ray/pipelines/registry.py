@@ -33,6 +33,7 @@ QUERIES = {
     "top_events_per_user": relational.top_events_per_user,
     "events_window_counts": relational.events_window_counts,
     "purchase_asof_click": relational.purchase_asof_click,
+    "purchase_window_range_join": relational.purchase_window_range_join,
     # builder-ETL dataflow shapes (SURVEY.md §2.2 B2/B3/B5/B7/B11)
     "suppliers_per_nation": builder.suppliers_per_nation,
     "majority_event_type": builder.majority_event_type,
@@ -101,6 +102,7 @@ ORACLE_SQL = {
     "event_value_quantiles": relational.EVENT_VALUE_QUANTILES_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
     "purchase_asof_click": relational.PURCHASE_ASOF_SQL,
+    "purchase_window_range_join": relational.PURCHASE_RANGE_JOIN_SQL,
     "approx_distinct_users": relational.APPROX_DISTINCT_SQL,
     "user_components": builder.USER_COMPONENTS_SQL,
     "synonym_clusters_csv": SYNONYM_CLUSTERS_SQL,

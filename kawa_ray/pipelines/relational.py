@@ -806,3 +806,98 @@ SELECT user_id, COUNT(*) AS n_purchases,
        ROUND(COALESCE(SUM(value), 0), 2) AS click_value_sum
 FROM j GROUP BY user_id ORDER BY user_id
 """
+
+
+def purchase_window_range_join(sf_dir: str):
+    """RANGE (interval-stabbing) JOIN: every event joins every purchase
+    attribution window ``[purchase.ts, purchase.ts + 1h]`` it falls in —
+    intervals overlap freely across users, so this is the genuine
+    interval-join case (not disjoint binning).
+
+    Distributed shape: time-bucket replication — each interval is
+    replicated to every 1-hour bucket it overlaps (≤2 here since the
+    window equals the bucket width), events go to exactly one bucket,
+    and the in-bucket stab count is two vectorised ``searchsorted``
+    probes over the bucket's sorted start/end arrays
+    (#starts <= ts  -  #ends < ts).  Partitioning assumption: one time
+    bucket's intervals fit a worker (bound by purchase rate x window);
+    longer windows raise the replication factor, not the algorithm."""
+    import numpy as np
+
+    W_US = 3600 * 1_000_000  # bucket width == attribution window (1h)
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        out = {"bucket": [], "kind": [], "event_type": [], "t0": [], "t1": []}
+        # one row per event in its bucket
+        out["bucket"] += (us // W_US).tolist()
+        out["kind"] += ["e"] * len(df)
+        out["event_type"] += df["event_type"].tolist()
+        out["t0"] += us.tolist()
+        out["t1"] += [0] * len(df)
+        # intervals (purchases) replicated per overlapped bucket
+        p = us[df["event_type"] == "purchase"]
+        for s_us in p.tolist():
+            e_us = s_us + W_US
+            for b in range(s_us // W_US, e_us // W_US + 1):
+                out["bucket"].append(b)
+                out["kind"].append("i")
+                out["event_type"].append("")
+                out["t0"].append(s_us)
+                out["t1"].append(e_us)
+        return pa.table({
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "t0": pa.array(out["t0"], pa.int64()),
+            "t1": pa.array(out["t1"], pa.int64()),
+        })
+
+    def stab(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["kind"] == "i"]
+        ev = g[g["kind"] == "e"]
+        if ev.empty:
+            return pd.DataFrame({"event_type": [], "total_matches": [],
+                                 "n_events": []})
+        starts = np.sort(iv["t0"].to_numpy())
+        ends = np.sort(iv["t1"].to_numpy())
+        ts = ev["t0"].to_numpy()
+        # inclusive [start, end] stab count
+        k = (np.searchsorted(starts, ts, side="right")
+             - np.searchsorted(ends, ts, side="left"))
+        out = pd.DataFrame({"event_type": ev["event_type"].to_numpy(),
+                            "k": k})
+        gsum = out.groupby("event_type", sort=False).agg(
+            total_matches=("k", "sum"), n_events=("k", lambda s: int((s > 0).sum()))
+        ).reset_index()
+        return gsum
+
+    out = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(stab, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("total_matches", alias_name="total_matches"),
+                   Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    out = out[out["total_matches"] > 0]
+    for c in ("total_matches", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+PURCHASE_RANGE_JOIN_SQL = """
+WITH p AS (
+  SELECT ts AS s, ts + INTERVAL 1 HOUR AS e FROM events
+  WHERE event_type = 'purchase'
+), j AS (
+  SELECT ev.event_id, ev.event_type
+  FROM events ev JOIN p ON ev.ts BETWEEN p.s AND p.e
+)
+SELECT event_type, COUNT(*) AS total_matches,
+       COUNT(DISTINCT event_id) AS n_events
+FROM j GROUP BY event_type ORDER BY event_type
+"""

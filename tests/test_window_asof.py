@@ -46,3 +46,26 @@ def test_asof_partition_independence(ray_session):
     a = purchase_asof_click("/root/testdata/sf0.001", partitions=64)
     b = purchase_asof_click("/root/testdata/sf0.001", partitions=5)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """In-bucket stabbing == brute-force interval join."""
+    import numpy as np
+
+    from kawa_ray.pipelines.relational import purchase_window_range_join
+
+    out = purchase_window_range_join("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "ts"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    p = us[(ev["event_type"] == "purchase").to_numpy()]
+    total = {}
+    nev = {}
+    for et, t in zip(ev["event_type"], us):
+        k = int(((p <= t) & (t <= p + 3600_000_000)).sum())
+        if k:
+            total[et] = total.get(et, 0) + k
+            nev[et] = nev.get(et, 0) + 1
+    got = {r["event_type"]: (r["total_matches"], r["n_events"])
+           for _, r in out.iterrows()}
+    assert got == {et: (total[et], nev[et]) for et in total}
