@@ -973,3 +973,98 @@ FROM stats
 NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 MINHASH_DEDUP_SQL = _minhash_sql()
 SIMHASH_DEDUP_SQL = _simhash_sql()
+
+
+def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS local-fingerprinting scheme): hash every k-char-gram
+    (md5-low64), keep the minimum of each sliding window of ``w``
+    consecutive gram hashes, fingerprint = the doc's distinct selected
+    hashes.  Census per lang: docs, selected fingerprints, distinct
+    fingerprints (shared fingerprints across docs = near-dup signal).
+    Exact SQL oracle (window MIN over md5_number_lower grams)."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        out_lang, out_nfp = [], []
+        fps_rows = {"lang": [], "fp": []}
+        for lang, text in zip(t.column("lang").to_pylist(),
+                              t.column("text").to_pylist()):
+            n_grams = len(text) - k + 1
+            if n_grams < w:
+                out_lang.append(lang)
+                out_nfp.append(0)
+                continue
+            hs = np.fromiter(
+                (md5_low64(text[i:i + k]) for i in range(n_grams)),
+                dtype=np.uint64, count=n_grams,
+            )
+            # min of each window [i, i+w)
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            sel = np.unique(sliding_window_view(hs, w).min(axis=1))
+            out_lang.append(lang)
+            out_nfp.append(int(sel.size))
+            fps_rows["lang"] += [lang] * sel.size
+            fps_rows["fp"] += sel.tolist()
+        per_doc = pa.table({"lang": pa.array(out_lang, pa.string()),
+                            "n_docs": pa.array([1] * len(out_lang), pa.int64()),
+                            "n_fps": pa.array(out_nfp, pa.int64())})
+        fps = pa.table({"lang": pa.array(fps_rows["lang"], pa.string()),
+                        "fp": pa.array(fps_rows["fp"], pa.uint64()),
+                        "kind": pa.array(["f"] * len(fps_rows["fp"]), pa.string())})
+        doc_rows = per_doc.append_column("kind", pa.array(["d"] * per_doc.num_rows))
+        doc_rows = doc_rows.append_column("fp", pa.array([0] * per_doc.num_rows, pa.uint64()))
+        return pa.concat_tables([
+            doc_rows.select(["lang", "kind", "n_docs", "n_fps", "fp"]),
+            fps.append_column("n_docs", pa.array([0] * fps.num_rows, pa.int64()))
+               .append_column("n_fps", pa.array([0] * fps.num_rows, pa.int64()))
+               .select(["lang", "kind", "n_docs", "n_fps", "fp"]),
+        ])
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == "d"]
+        f = g[g["kind"] == "f"]
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "n_docs": [int(d["n_docs"].sum())],
+            "n_fingerprints": [int(d["n_fps"].sum())],
+            "n_distinct": [int(f["fp"].nunique())],
+        })
+
+    out = (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(census, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+DOC_WINNOW_SQL = """
+WITH grams AS (
+  SELECT doc_id, lang, i,
+         md5_number_lower(substring(text, CAST(i AS INT), 8)) AS h,
+         LENGTH(text) - 8 + 1 AS n_grams
+  FROM documents, UNNEST(range(1, LENGTH(text) - 8 + 2)) AS u(i)
+  WHERE LENGTH(text) >= 8
+), wins AS (
+  SELECT doc_id, lang, i, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM grams
+), sel AS (
+  SELECT DISTINCT doc_id, lang, wmin
+  FROM wins WHERE i <= n_grams - 4 + 1
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_fps FROM sel GROUP BY 1, 2
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(p.n_fps), 0) AS BIGINT) AS n_fingerprints,
+       (SELECT COUNT(DISTINCT s.wmin) FROM sel s WHERE s.lang = d.lang)
+         AS n_distinct
+FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""

@@ -52,6 +52,7 @@ QUERIES = {
     "minhash_dedup_docs": docs.minhash_dedup_docs,
     "simhash_dedup_docs": docs.simhash_dedup_docs,
     "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
+    "doc_winnow_fingerprints": docs.doc_winnow_fingerprints,
     "docs_split_assign": docs.docs_split_assign,
     "docs_sample_stats": docs.docs_sample_stats,
     # similarity search over embeddings
@@ -64,6 +65,7 @@ QUERIES = {
     "embedding_label_stats": vectors.embedding_label_stats,
     "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
     "embedding_centroids": vectors.embedding_centroids,
+    "embedding_neardup_census": vectors.embedding_neardup_census,
     # flagship entity-resolution pipeline (synthetic pages corpus)
     "er_extract_check": er_queries.er_extract_check,
     "er_mention_stats": er_queries.er_mention_stats,
@@ -128,6 +130,8 @@ ORACLE_SQL = {
     "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,
     "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
     "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
+    "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,
+    "embedding_neardup_census": vectors.EMBEDDING_NEARDUP_CENSUS_SQL,
     "media_feature_census": media.MEDIA_FEATURE_CENSUS_SQL,
     "media_resize_plan": media.MEDIA_RESIZE_SQL,
 }

@@ -378,3 +378,48 @@ FROM embeddings
 GROUP BY label
 ORDER BY label
 """
+
+
+def embedding_neardup_census(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine dedup census: the near-dup pair stage
+    (label-blocked brute force) closed into connected components +
+    group census — the same census contract as the text dedup trio.
+    Pairs are label-blocked so components never cross labels; the edge
+    set is pairs-space sized (driver union-find bounded by it)."""
+    from kawa_ray.stages.clustering import union_find_components
+
+    pairs = embedding_neardup_pairs(sf_dir, threshold)
+    n_vecs = int(_read_emb(sf_dir, ["vec_id"]).count())
+    groups = union_find_components(zip(pairs["a"], pairs["b"]))
+    n_nodes = len(groups)
+    n_comp = len(set(groups.values()))
+    n_groups = n_vecs - n_nodes + n_comp
+    return pd.DataFrame({"n_vectors": [n_vecs], "n_groups": [n_groups],
+                         "n_duplicates": [n_vecs - n_groups]})
+
+
+EMBEDDING_NEARDUP_CENSUS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT LEAST(e1.vec_id, e2.vec_id) AS a,
+         GREATEST(e1.vec_id, e2.vec_id) AS b
+  FROM embeddings e1 JOIN embeddings e2
+    ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+  WHERE LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding) >= 0.35
+), adj AS (
+  SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT x AS node, x AS lbl FROM adj
+  UNION
+  SELECT adj.y AS node, r.lbl FROM reach r JOIN adj ON adj.x = r.node
+  WHERE r.lbl < adj.y
+), comp AS (
+  SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+         (SELECT COUNT(*) FROM comp) AS n_nodes,
+         (SELECT COUNT(DISTINCT lbl) FROM comp) AS n_comp
+)
+SELECT n_vectors, n_vectors - n_nodes + n_comp AS n_groups,
+       n_nodes - n_comp AS n_duplicates
+FROM stats
+"""

