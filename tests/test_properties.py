@@ -132,3 +132,56 @@ def test_extract_text_linear_on_pathological_pages():
         t0 = time.time()
         extract_text(evil)
         assert time.time() - t0 < 2.0
+
+
+class TestAsofProperty:
+    def test_asof_matches_pandas_merge_asof(self, ray_session):
+        """Independent oracle: pandas merge_asof on the same rows."""
+        import numpy as np
+        import pandas as pd
+
+        from kawa_ray.pipelines.relational import purchase_asof_click
+
+        out = purchase_asof_click("/root/testdata/sf0.001")
+        ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["user_id", "event_type", "ts", "value"])
+        p = ev[ev["event_type"] == "purchase"].sort_values("ts")
+        c = ev[ev["event_type"] == "click"].sort_values("ts")
+        m = pd.merge_asof(p, c, on="ts", by="user_id",
+                          direction="backward", suffixes=("", "_c"))
+        agg = m.groupby("user_id").agg(
+            n_purchases=("ts", "size"),
+            n_matched=("value_c", "count"),
+            click_value_sum=("value_c", "sum"),
+        ).reset_index()
+        agg["click_value_sum"] = agg["click_value_sum"].fillna(0).round(2)
+        agg = agg.sort_values("user_id").reset_index(drop=True)
+        got = out.astype({"user_id": "int64"}).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, agg.astype({"n_purchases": "int64", "n_matched": "int64"}),
+            check_dtype=False,
+        )
+
+
+class TestWinnowProperty:
+    def test_window_min_selection_brute_force(self):
+        """sliding_window_view minima == brute-force winnowing."""
+        import numpy as np
+
+        from kawa_ray.functions.minhash import md5_low64
+
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            n = int(rng.integers(12, 60))
+            text = "".join(chr(97 + int(x)) for x in rng.integers(0, 5, n))
+            k, w = 8, 4
+            n_grams = len(text) - k + 1
+            if n_grams < w:
+                continue
+            hs = [md5_low64(text[i:i + k]) for i in range(n_grams)]
+            brute = {min(hs[i:i + w]) for i in range(n_grams - w + 1)}
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            fast = set(np.unique(sliding_window_view(
+                np.array(hs, dtype=np.uint64), w).min(axis=1)).tolist())
+            assert fast == brute
