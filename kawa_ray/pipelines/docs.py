@@ -1006,15 +1006,17 @@ def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
             out_lang.append(lang)
             out_nfp.append(int(sel.size))
             fps_rows["lang"] += [lang] * sel.size
-            fps_rows["fp"] += sel.tolist()
+            # int64-shifted (top bit flipped): Ray's aggregate path can't
+            # carry uint64 > 2^63; the shift preserves distinctness
+            fps_rows["fp"] += (sel ^ np.uint64(1 << 63)).view(np.int64).tolist()
         per_doc = pa.table({"lang": pa.array(out_lang, pa.string()),
                             "n_docs": pa.array([1] * len(out_lang), pa.int64()),
                             "n_fps": pa.array(out_nfp, pa.int64())})
         fps = pa.table({"lang": pa.array(fps_rows["lang"], pa.string()),
-                        "fp": pa.array(fps_rows["fp"], pa.uint64()),
+                        "fp": pa.array(fps_rows["fp"], pa.int64()),
                         "kind": pa.array(["f"] * len(fps_rows["fp"]), pa.string())})
         doc_rows = per_doc.append_column("kind", pa.array(["d"] * per_doc.num_rows))
-        doc_rows = doc_rows.append_column("fp", pa.array([0] * per_doc.num_rows, pa.uint64()))
+        doc_rows = doc_rows.append_column("fp", pa.array([0] * per_doc.num_rows, pa.int64()))
         return pa.concat_tables([
             doc_rows.select(["lang", "kind", "n_docs", "n_fps", "fp"]),
             fps.append_column("n_docs", pa.array([0] * fps.num_rows, pa.int64()))
@@ -1022,23 +1024,159 @@ def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
                .select(["lang", "kind", "n_docs", "n_fps", "fp"]),
         ])
 
-    def census(g: pd.DataFrame) -> pd.DataFrame:
-        d = g[g["kind"] == "d"]
-        f = g[g["kind"] == "f"]
-        return pd.DataFrame({
-            "lang": [g["lang"].iloc[0]],
-            "n_docs": [int(d["n_docs"].sum())],
-            "n_fingerprints": [int(d["n_fps"].sum())],
-            "n_distinct": [int(f["fp"].nunique())],
+    # census in two stages so no task ever holds one language's whole
+    # fingerprint stream (round-2 VERDICT item 3: groupby(lang) alone put
+    # ALL of a language's rows in one map_groups group — unbounded for a
+    # mostly-one-language corpus).  Distinct fingerprints go through
+    # groupby([lang, fp]) (hash-partitioned on the pair) then a per-lang
+    # count — the same shape doc_fingerprints already uses.
+    mixed = ds.map_batches(fp, batch_format="pyarrow").materialize()
+
+    def keep(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column("kind"), kind))
+        return f
+
+    doc_agg = (
+        mixed.map_batches(keep("d"), batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_fps", alias_name="n_fingerprints"))
+        .to_pandas()
+    )
+    distinct = (
+        mixed.map_batches(keep("f"), batch_format="pyarrow")
+        .groupby(["lang", "fp"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = doc_agg.merge(distinct, on="lang", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_profile_stats(sf_dir: str):
+    """Per-language text profile — doc counts, whitespace token totals,
+    punctuation / space / char totals — in ONE fully-Arrow-vectorised
+    pass (``pc.split_pattern_regex`` / ``count_substring_regex``; no
+    per-row Python).  Merges the round-2 ``docs_per_lang`` /
+    ``token_count_stats`` / ``punctuation_stats`` queries so the full
+    registry fits the driver's 50-query correctness window; the
+    originals stay pytest-oracled via ``EXTRA_QUERIES``."""
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = t.column("text")
+        trimmed = pc.utf8_trim_whitespace(text)
+        ntoks = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()),
+        )
+        tt = pa.table({
+            "lang": t.column("lang"),
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+            "tokens": ntoks,
+            "punct": pc.cast(pc.count_substring_regex(text, "[.!?,;:]"), pa.int64()),
+            "spaces": pc.cast(pc.count_substring(text, " "), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
+        return tt.group_by("lang").aggregate(
+            [("n", "sum"), ("tokens", "sum"), ("punct", "sum"),
+             ("spaces", "sum"), ("chars", "sum")]
+        ).rename_columns(["lang", "n", "tokens", "punct", "spaces", "chars"])
 
     out = (
-        ds.map_batches(fp, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(census, batch_format="pandas")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("tokens", alias_name="total_tokens"),
+            Sum("punct", alias_name="punct_chars"),
+            Sum("spaces", alias_name="space_chars"),
+            Sum("chars", alias_name="total_chars"),
+        )
         .to_pandas()
     )
     return out.sort_values("lang").reset_index(drop=True)
+
+
+DOC_PROFILE_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))) AS BIGINT) AS punct_chars,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS space_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_quality_lang(sf_dir: str):
+    """Per-document quality score + heuristic language-ID in one batch
+    pass (merges the round-2 ``quality_scores`` / ``lang_id`` queries
+    for the driver's 50-query window; originals in ``EXTRA_QUERIES``).
+    Same floor-discretisation and argmax semantics as the originals —
+    the SQL oracle is the join of their two exact oracles."""
+    import math
+
+    from kawa_ray.functions.text import cjk_detect
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for doc_id, lang, text in zip(df["doc_id"], df["lang"], df["text"]):
+            toks = _WS.split(text.strip()) if text.strip() else []
+            n = len(toks)
+            stop_ratio = sum(1 for w in toks if w.lower() in _STOP_EN) / n if n else 0.0
+            mean_len = float(np.mean([len(w) for w in toks])) if n else 0.0
+            punct_ratio = len(_PUNCT.findall(text)) / max(1, len(text))
+            length_score = min(1.0, n / 100.0)
+            q = 0.4 * length_score + 0.2 * min(1.0, 4 * punct_ratio) + \
+                0.2 * min(1.0, 2 * stop_ratio) + 0.2 * min(1.0, mean_len / 8.0)
+            cjk = cjk_detect(text[:400])
+            if cjk:
+                pred = cjk if cjk in ("zh", "ja", "ko", "th") else "other"
+            else:
+                head = [w.lower() for w in _WS.split(text[:1000].strip())]
+                pred, best_n = "other", 0
+                for lg, hints in _LANG_HINTS.items():
+                    hits = sum(1 for w in head if w in hints)
+                    if hits > best_n:
+                        pred, best_n = lg, hits
+            rows.append((doc_id, lang, n,
+                         math.floor(stop_ratio * 10000) / 10000,
+                         math.floor(q * 10000) / 10000, pred))
+        out = pd.DataFrame(rows, columns=["doc_id", "lang", "n_tokens",
+                                          "stop_ratio", "quality", "lang_pred"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _doc_quality_lang_sql() -> str:
+    return f"""
+WITH qres AS ({QUALITY_SCORES_SQL}),
+     lres AS ({LANG_ID_SQL})
+SELECT qres.doc_id, qres.lang, qres.n_tokens, qres.stop_ratio,
+       qres.quality, lres.lang_pred
+FROM qres JOIN lres USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+DOC_QUALITY_LANG_SQL = _doc_quality_lang_sql()
 
 
 DOC_WINNOW_SQL = """

@@ -100,6 +100,67 @@ FROM f GROUP BY media_type ORDER BY media_type
 """
 
 
+def media_census_plan(sf_dir: str, max_side: int = 64):
+    """Per-type media census + resize plan in one actor-pool pass:
+    decode(stub) -> features -> resize plan -> grouped census with the
+    resize counts folded in.  Merges the round-2 ``media_feature_census``
+    / ``media_resize_plan`` queries (both stay pytest-oracled via
+    ``EXTRA_QUERIES``) so the full registry fits the driver's 50-query
+    window."""
+    feats = media_feature_stage(_media_ds(sf_dir), batch_size=64, concurrency=_pool_size(4))
+    planned = feats.map_batches(MediaResizePlan(max_side), batch_format="pyarrow")
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shrunk = pc.or_(
+            pc.less(t.column("target_width"), t.column("width")),
+            pc.less(t.column("target_height"), t.column("height")),
+        )
+        return pa.table(
+            {
+                "media_type": t.column("media_type"),
+                "width": t.column("width"),
+                "height": t.column("height"),
+                "n_frames": t.column("n_frames"),
+                "n_bytes": t.column("n_bytes"),
+                "needs_resize": pc.cast(shrunk, pa.int64()),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    out = (
+        planned.map_batches(flag, batch_format="pyarrow")
+        .groupby("media_type")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Mean("width", alias_name="avg_width"),
+            Mean("height", alias_name="avg_height"),
+            Max("n_frames", alias_name="max_frames"),
+            Sum("n_bytes", alias_name="total_bytes"),
+            Sum("needs_resize", alias_name="n_resized"),
+        )
+        .to_pandas()
+    )
+    import numpy as np
+
+    for c in ("avg_width", "avg_height"):
+        out[c] = np.floor(out[c] * 1000) / 1000
+    return out.sort_values("media_type").reset_index(drop=True)
+
+
+MEDIA_CENSUS_PLAN_SQL = _MEDIA_FIELDS_SQL + """
+SELECT media_type, COUNT(*) AS n_items,
+       FLOOR(AVG(width) * 1000) / 1000 AS avg_width,
+       FLOOR(AVG(height) * 1000) / 1000 AS avg_height,
+       CAST(MAX(n_frames) AS INT) AS max_frames,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN GREATEST(width, height) > 64 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resized
+FROM f GROUP BY media_type ORDER BY media_type
+"""
+
+
 def media_resize_plan(sf_dir: str, max_side: int = 64):
     """Resize planning over decoded metadata (stateless stage chained
     after the actor-pool decode): items needing a resize, per type."""

@@ -136,53 +136,189 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+# --- banded embedding near-dup (round-2 VERDICT item 2: the within-label
+# --- all-pairs np.triu_indices was O(n^2) work + memory in ONE worker for
+# --- a hot label; this is the text-dedup band shape applied to vectors) ---
+#
+# Candidates come from ternary-plane LSH over INTEGER-quantised components:
+# q_i = floor(1000 * x_i) (exact in float64 on both engines), plane
+# coefficients c in {-1, 0, 1} derived from md5 — so every band key is an
+# integer sum, free of float-summation-order divergence, and the DuckDB
+# oracle replicates the banding bit-for-bit (the reason ann_lsh has no
+# exact SQL is Gaussian-plane float dots; integer dots don't have that
+# problem).  Pairs sharing any band key within their label are verified
+# with exact cosine >= threshold inside the same hash-partitioned segment
+# pass (vectors ride the band rows, 8 x 256 B per vector), with a
+# deterministic per-segment member cap exactly like docs._partitioned_band_pairs.
+_EMB_BANDS = 8
+_EMB_PLANES_PER_BAND = 3
+_EMB_QUANT = 1000
+_EMB_MAX_MEMBERS = 512
+_EMB_PARTITIONS = 64
+
+
+def _emb_planes(dim: int) -> np.ndarray:
+    """(n_planes, dim) ternary coefficients from md5 (SQL-inlineable)."""
+    from kawa_ray.functions.minhash import md5_low64
+
+    n = _EMB_BANDS * _EMB_PLANES_PER_BAND
+    C = np.empty((n, dim), dtype=np.int64)
+    for p in range(n):
+        for i in range(dim):
+            C[p, i] = md5_low64(f"embplane:{p}:{i}") % 3 - 1
+    return C
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
-    """Embedding-cosine near-duplicate pairs within a label partition —
-    blocked brute force (label = blocking key), SQL-oracled."""
-    ds = _read_emb(sf_dir)  # distributed read; label groups stay on workers
+    """Embedding-cosine near-duplicate pairs: label + integer-LSH band
+    blocking, exact-cosine verify per hash-partitioned band segment,
+    cross-band dedup.  No stage holds a whole label; a hot label fans
+    out across (band, key) segments, each capped at
+    ``_EMB_MAX_MEMBERS`` members (oversized segments are skipped
+    deterministically — same contract as the text dedup trio)."""
+    from kawa_ray.functions.minhash import hash64
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.asarray(g["vec_id"], dtype=np.int64)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
-        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
-        S = Mn @ Mn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = S[iu, ju] >= threshold
-        a = np.minimum(ids[iu[mask]], ids[ju[mask]])
-        b = np.maximum(ids[iu[mask]], ids[ju[mask]])
-        return pd.DataFrame(
-            {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64"),
-             "label": pd.Series([g["label"].iloc[0]] * len(a), dtype="int32"),
-             "cosine": pd.Series(np.round(S[iu, ju][mask], 4), dtype="float64")}
-        )
+    ds = _read_emb(sf_dir)
+    P = _EMB_PARTITIONS
 
-    out = ds.groupby("label").map_groups(pairs, batch_format="pandas").to_pandas()
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        dim = M.shape[1]
+        C = planes_cache.get(dim)
+        if C is None:
+            C = planes_cache[dim] = _emb_planes(dim)
+        q = np.floor(M * _EMB_QUANT).astype(np.int64)
+        bits = (q @ C.T) > 0  # (n, bands*planes) — integer dots, exact
+        pows = (1 << np.arange(_EMB_PLANES_PER_BAND)).astype(np.int64)
+        out = {"part": [], "label": [], "band": [], "key": [],
+               "vec_id": [], "vec": []}
+        for band in range(_EMB_BANDS):
+            sl = bits[:, band * _EMB_PLANES_PER_BAND:(band + 1) * _EMB_PLANES_PER_BAND]
+            keys = sl @ pows
+            for r in range(len(ids)):
+                k = int(keys[r])
+                out["part"].append(hash64(f"{labels[r]}:{band}:{k}") % P)
+                out["label"].append(int(labels[r]))
+                out["band"].append(band)
+                out["key"].append(k)
+                out["vec_id"].append(int(ids[r]))
+                out["vec"].append(M[r].tobytes())
+        return pa.table({
+            "part": pa.array(out["part"], pa.int64()),
+            "label": pa.array(out["label"], pa.int64()),
+            "band": pa.array(out["band"], pa.int64()),
+            "key": pa.array(out["key"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "vec": pa.array(out["vec"], pa.binary()),
+        })
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_l, out_c = [], [], [], []
+        for (label, _band, _key), seg in g.groupby(["label", "band", "key"],
+                                                   sort=False):
+            seg = seg.drop_duplicates("vec_id").sort_values("vec_id")
+            n = len(seg)
+            if n < 2 or n > _EMB_MAX_MEMBERS:
+                continue
+            ids = seg["vec_id"].to_numpy()
+            M = np.stack([np.frombuffer(v, dtype=np.float64) for v in seg["vec"]])
+            Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+            S = Mn @ Mn.T
+            iu, ju = np.triu_indices(n, k=1)  # bounded: n <= _EMB_MAX_MEMBERS
+            mask = S[iu, ju] >= threshold
+            out_a += ids[iu[mask]].tolist()
+            out_b += ids[ju[mask]].tolist()
+            out_l += [int(label)] * int(mask.sum())
+            out_c += np.round(S[iu, ju][mask], 4).tolist()
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "label": pd.Series(out_l, dtype="int32"),
+                             "cosine": pd.Series(out_c, dtype="float64")})
+
+    out = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(explode, batch_format="pandas")
+        .to_pandas()
+    )
     if out.empty:
-        out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                            "label": pd.Series(dtype="int32"),
-                            "cosine": pd.Series(dtype="float64")})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int32"),
+                             "cosine": pd.Series(dtype="float64")})
+    # cross-band dedup: pairs-space, same driver-collapse contract as
+    # docs._partitioned_band_pairs below its edge threshold
+    out = out.drop_duplicates(["a", "b"])
     return out.sort_values(["label", "a", "b"]).reset_index(drop=True)
 
 
-EMBEDDING_NEARDUP_SQL = """
-SELECT LEAST(e1.vec_id, e2.vec_id) AS a, GREATEST(e1.vec_id, e2.vec_id) AS b,
-       e1.label AS label,
-       ROUND(LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding), 4) AS cosine
-FROM embeddings e1 JOIN embeddings e2
-  ON e1.label = e2.label AND e1.vec_id < e2.vec_id
-WHERE LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding) >= 0.35
+def _emb_band_cte(threshold: float = 0.35) -> str:
+    """Shared banding CTE chain: comp -> dots -> keys -> seg -> cand ->
+    pairs(a, b, label, cosine) — the exact SQL mirror of the banded
+    candidate generation + cosine verify above."""
+    C = _emb_planes(64)  # driver-table embeddings are 64-dim
+    rows = ",".join(
+        f"({p},{i + 1},{int(C[p, i])})"
+        for p in range(C.shape[0]) for i in range(C.shape[1])
+        if C[p, i] != 0
+    )
+    return f"""
+planes(p, i, c) AS (VALUES {rows}),
+qcomp AS (
+  SELECT vec_id, label, u.i,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {_EMB_QUANT}) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS u(i)
+), dots AS (
+  SELECT c.vec_id, c.label, pl.p, SUM(pl.c * c.qv) AS dot
+  FROM qcomp c JOIN planes pl ON pl.i = c.i
+  GROUP BY 1, 2, 3
+), bkeys AS (
+  SELECT vec_id, label, p // {_EMB_PLANES_PER_BAND} AS band,
+         SUM(CASE WHEN dot > 0 THEN 1 << (p % {_EMB_PLANES_PER_BAND}) ELSE 0 END) AS key
+  FROM dots GROUP BY 1, 2, 3
+), seg AS (
+  SELECT label, band, key, COUNT(DISTINCT vec_id) AS n
+  FROM bkeys GROUP BY 1, 2, 3
+), cand AS (
+  SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b, k1.label AS label
+  FROM bkeys k1
+  JOIN bkeys k2 ON k1.label = k2.label AND k1.band = k2.band
+                AND k1.key = k2.key AND k1.vec_id < k2.vec_id
+  JOIN seg ON seg.label = k1.label AND seg.band = k1.band AND seg.key = k1.key
+  WHERE seg.n BETWEEN 2 AND {_EMB_MAX_MEMBERS}
+), pairs AS (
+  SELECT c.a, c.b, c.label,
+         ROUND(LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding), 4) AS cosine
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.a
+  JOIN embeddings e2 ON e2.vec_id = c.b
+  WHERE LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding) >= {threshold}
+)"""
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH {_emb_band_cte()}
+SELECT a, b, label, cosine FROM pairs
 ORDER BY label, a, b
 """
 
 
-def ann_lsh_topk(sf_dir: str, n_tables: int = 24, planes_per_table: int = 6):
+def ann_lsh_topk(sf_dir: str, n_tables: int = 32, planes_per_table: int = 5):
     """Multi-table random-hyperplane LSH ANN: ``n_tables`` independent
     signatures of ``planes_per_table`` bits; a vector is a candidate for a
     query when ANY table\'s signature matches exactly (the standard
     amplification construction — a single long signature has vanishing
     collision probability for mid-cosine neighbours).  Exact re-rank over
     the candidate union; recall gated vs brute force in
-    tests/test_vectors_extra.py."""
+    tests/test_vectors_extra.py AND per-query in the driver-oracled
+    ``ann_lsh_recall``.  Default (32, 5) is sized for the synthetic
+    fixture\'s low-cosine regime (true top-10 at cosine 0.24-0.37, where
+    collision probability per plane is barely above 1/2); a real
+    embedding corpus with near-dups at cosine >= 0.8 gets the same
+    recall from fewer tables with far higher bucket selectivity."""
     qids, Q = _query_matrix(sf_dir)
     qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     rng = np.random.default_rng(42)
@@ -334,16 +470,16 @@ def embedding_centroids(sf_dir: str):
     ds = _read_emb(sf_dir, ["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         labels = np.asarray(t.column("label").to_pylist())
         M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
-        out = {"label": [], "n": [], "s0": [], "s1": [], "s2": []}
+        norms = np.linalg.norm(M, axis=1)
+        out = {"label": [], "n": [], "norm_sum": [], "s0": [], "s1": [], "s2": []}
         for lab in np.unique(labels):
             mask = labels == lab
             s = M[mask].sum(axis=0)
             out["label"].append(int(lab))
             out["n"].append(int(mask.sum()))
+            out["norm_sum"].append(float(norms[mask].sum()))
             out["s0"].append(float(s[0]))
             out["s1"].append(float(s[1]))
             out["s2"].append(float(s[2]))
@@ -356,6 +492,7 @@ def embedding_centroids(sf_dir: str):
         .groupby("label")
         .aggregate(
             Sum("n", alias_name="n"),
+            Sum("norm_sum", alias_name="norm_sum"),
             Sum("s0", alias_name="s0"),
             Sum("s1", alias_name="s1"),
             Sum("s2", alias_name="s2"),
@@ -364,19 +501,85 @@ def embedding_centroids(sf_dir: str):
     )
     for i in range(3):
         agg[f"c{i}"] = (agg[f"s{i}"] / agg["n"]).round(6)
-    out = agg[["label", "n", "c0", "c1", "c2"]].sort_values("label")
+    # mean member L2 norm (absorbs the round-2 embedding_label_stats
+    # query — same (sum, n) partial pattern, one less registry slot)
+    agg["mean_norm"] = (agg["norm_sum"] / agg["n"]).round(4)
+    out = agg[["label", "n", "mean_norm", "c0", "c1", "c2"]].sort_values("label")
     return out.reset_index(drop=True)
 
 
 EMBEDDING_CENTROIDS_SQL = """
 SELECT label,
        COUNT(*) AS n,
+       ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> x * x)))), 4) AS mean_norm,
        ROUND(AVG(embedding[1]), 6) AS c0,
        ROUND(AVG(embedding[2]), 6) AS c1,
        ROUND(AVG(embedding[3]), 6) AS c2
 FROM embeddings
 GROUP BY label
 ORDER BY label
+"""
+
+
+RECALL_GATE = 0.8
+
+
+def _recall_summary(sf_dir: str, approx: pd.DataFrame,
+                    gate: float = RECALL_GATE) -> pd.DataFrame:
+    """Driver-visible recall gate for an approximate-ANN variant
+    (round-2 VERDICT item 5): per query, recompute the exact top-k via
+    the distributed brute force and emit
+
+      (query_id, k, exact_kth_cosine, recall_pass)
+
+    ``exact_kth_cosine`` is data-dependent — the oracle SQL recomputes
+    it from the same brute-force ranking, so the driver hash checks our
+    distributed exact top-k end-to-end.  ``recall_pass`` pins the
+    contract ``recall@k >= gate`` per query: the SQL side asserts 1, so
+    any recall regression in the LSH/IVF candidate generation flips the
+    Ray value to 0 and fails the driver hash."""
+    exact = ann_topk(sf_dir)
+    rows = []
+    for qid, g in exact.groupby("query_id", sort=True):
+        want = set(g["neighbor_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        recall = len(want & got) / len(want)
+        kth = float(g.loc[g["rank"] == TOP_K, "cosine"].iloc[0])
+        rows.append((int(qid), TOP_K, kth, int(recall >= gate)))
+    return pd.DataFrame(rows, columns=["query_id", "k", "exact_kth_cosine",
+                                       "recall_pass"])
+
+
+def ann_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """LSH-ANN recall gate vs exact brute force (driver-oracled)."""
+    return _recall_summary(sf_dir, ann_lsh_topk(sf_dir))
+
+
+def ann_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF-ANN recall gate vs exact brute force (driver-oracled)."""
+    return _recall_summary(sf_dir, ann_ivf_topk(sf_dir))
+
+
+ANN_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_COSINE_SIMILARITY(q.qe, e.embedding), 4) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, {TOP_K} AS k, cosine AS exact_kth_cosine, 1 AS recall_pass
+FROM ranked WHERE rank = {TOP_K}
+ORDER BY query_id
 """
 
 
@@ -398,13 +601,10 @@ def embedding_neardup_census(sf_dir: str, threshold: float = 0.35):
                          "n_duplicates": [n_vecs - n_groups]})
 
 
-EMBEDDING_NEARDUP_CENSUS_SQL = """
-WITH RECURSIVE edges AS (
-  SELECT LEAST(e1.vec_id, e2.vec_id) AS a,
-         GREATEST(e1.vec_id, e2.vec_id) AS b
-  FROM embeddings e1 JOIN embeddings e2
-    ON e1.label = e2.label AND e1.vec_id < e2.vec_id
-  WHERE LIST_COSINE_SIMILARITY(e1.embedding, e2.embedding) >= 0.35
+EMBEDDING_NEARDUP_CENSUS_SQL = f"""
+WITH RECURSIVE {_emb_band_cte()},
+edges AS (
+  SELECT a, b FROM pairs
 ), adj AS (
   SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
 ), reach AS (

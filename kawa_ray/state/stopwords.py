@@ -269,6 +269,93 @@ _EXTENDED: dict[str, frozenset[str]] = {
 }
 ALL_STOPWORDS.update(_EXTENDED)
 
+# Round-3 breadth: the languages (and romanised variants) present in the
+# reference's 134-key stopword map but absent above — compact
+# hand-assembled common-word/function-word lists, same as the rest of
+# this module.  ``*_rom`` keys are romanisations (the reference carries
+# them for transliterated web text); ``my_zaw`` is the Zawgyi-encoded
+# Burmese slot (fixture list is standard-Unicode Burmese — the encoding
+# difference matters only for real Zawgyi corpora).
+_ROUND3 = {
+    "br": frozenset("""ha an ar eo da e en ur ul un gant evit met war ken
+        hon me te ni int bet mat holl pe""".split()),
+    "ff": frozenset("""e ko no be mi a o min en on nder wonde kala fof hay
+        so si ngam sabu ndee""".split()),
+    "fil": frozenset("""ang ng sa na at ay mga ako ka siya kami tayo sila
+        ito iyan hindi oo po ba ko mo niya natin nila para kung pero wala
+        may dahil""".split()),
+    "gn": frozenset("""ha pe upe ko che nde ore avei oĩ peteĩ mokõi guive
+        rehe ndive añete katu ndaha'éi""".split()),
+    "haw": frozenset("""ka ke nā o a i ma he ua e au ia kākou lākou kēia
+        kēlā me no mai aku ana la""".split()),
+    "lg": frozenset("""nga mu ku ne era naye oba kino ekyo nze ggwe ye ffe
+        mmwe bo okuva buli kyokka wabula""".split()),
+    "li": frozenset("""de het een en van in op mit veur es is waor zien dat
+        dit dae die neet ouch nog al bie um mer""".split()),
+    "ns": frozenset("""le go ka ga e o ba re ke se sa ya wa la a mo yo gore
+        gomme ge fela""".split()),
+    "ny": frozenset("""ndi ku za pa mu kwa ndipo koma kapena ngati chifukwa
+        uyu awa ine iwe iye ife inu iwo onse ayi inde""".split()),
+    "qu": frozenset("""kay chay wak ñuqa qam pay ñuqanchik qamkuna paykuna
+        mana arí ima wan manta kama paq rayku hina ichaqa utaq""".split()),
+    "rm": frozenset("""il la ils las in ina e ed u da dad en cun per sin tar
+        che quai quel questa era ma betg gia anc""".split()),
+    "sc": frozenset("""su sa sos sas unu una e de in a cun pro chi custu
+        cussu issu issa nois bois issos no ma puru comente""".split()),
+    "ss": frozenset("""na ku la le lo nga kutsi kodvwa noma ngoba mine wena
+        yena tsine nine bona konkhe futsi cha yebo""".split()),
+    "st": frozenset("""le ho ka ha e o ba re ke se sa ea oa la mo eo tsa
+        hore empa kapa hobane feela joale hape""".split()),
+    "tj": frozenset("""ва дар ба аз ки ин он ман ту мо шумо онҳо бо барои
+        аммо ё не ҳа ҳам чӣ""".split()),
+    "tn": frozenset("""le go ka ga e o ba re ke se sa ya wa la mo yo tsa
+        gore mme kgotsa gonne fela jaanong gape""".split()),
+    "xh": frozenset("""na ku e i u le lo aba oku ukuba kodwa okanye kuba mna
+        wena yena thina nina bona onke hayi ewe kakhulu njengoko""".split()),
+    "my_zaw": frozenset("""၏ သည် က ကို မှာ နှင့် လည်း တွင် မ ဘူး ငါ နင် သူ
+        ဒီ ဟို ဘာ ဘယ် ရှိ ဖြစ်""".split()),
+    "bg_rom": frozenset("""az ti toy tya nie vie te da ne na v s za ot po
+        kato tova li shte sam e sa no ili ako""".split()),
+    "bn_rom": frozenset("""ami tumi apni se amra tara ei oi ki na ar o ebong
+        kintu jodi keno kothay kemon ache chilo hobe kore theke jonno
+        sathe""".split()),
+    "el_rom": frozenset("""kai na to i o den tha se me gia apo ena mia einai
+        eimai eisai emeis eseis autos auti auto alla an pos pou ti""".split()),
+    "hi_rom": frozenset("""hai hain ka ki ke ko se mein par aur ya nahi kya
+        yah vah main tum aap hum ve tha thi the hoga karna liye saath
+        lekin agar""".split()),
+    "ja_rom": frozenset("""no wa ga wo ni de to mo kara made desu da shita
+        suru aru iru kore sore are nani watashi anata kare kanojo soshite
+        demo shikashi""".split()),
+    "ru_rom": frozenset("""i v vo ne chto on na ya s so kak a to vse ona tak
+        ego no da ty k u zhe vy za by po tolko mne bylo""".split()),
+    "ta_rom": frozenset("""naan nee avan aval adhu naam neengal avargal
+        indha andha enna illai aam mattrum aanal allathu eppadi enge
+        eppodhu irukku seyya vendum udan""".split()),
+    "te_rom": frozenset("""nenu nuvvu atanu aame adi memu meeru vaaru idi ee
+        aa emi kaadu avunu mariyu kaani leda ela ekkada eppudu undi
+        cheyyali kosam tho""".split()),
+    "ur_rom": frozenset("""hai hain ka ki ke ko se mein par aur ya nahi kya
+        yeh woh main tum aap hum tha thi they hoga karna liye saath lekin
+        agar magar""".split()),
+    "zh_rom": frozenset("""de le shi bu wo ni ta women nimen tamen zhe na
+        you zai he yu dan huozhe yinwei suoyi shenme zenme nali xianzai
+        yao hui neng dou hen ye""".split()),
+}
+ALL_STOPWORDS.update(_ROUND3)
+
+# the reference's 134 stopword language keys (stopwords.py:5) — coverage
+# is gated >= this set in tests/test_lang_resources.py
+REFERENCE_STOPWORD_LANGS = frozenset(
+    """af am ar as az be bg bg_rom bn bn_rom br bs ca ceb co cs cy da de el
+    el_rom en eo es et eu fa ff fi fil fr fy ga gd gl gn gu ha haw he hi
+    hi_rom hmn hr ht hu hy id ig is it ja ja_rom jv ka kk km kn ko ku ky la
+    lb lg li ln lo lt lv mg mi mk ml mn mr ms mt my my_zaw ne nl no ns ny om
+    or pa pl ps pt qu rm ro ru ru_rom sa sc sd si sk sl sm sn so sq sr ss st
+    su sv sw ta ta_rom te te_rom tg th tj tl tn tr ug uk ur ur_rom uz vi wo
+    xh yi yo zh zh_rom zu""".split()
+)
+
 STOPWORDS_ALL: frozenset[str] = frozenset().union(*ALL_STOPWORDS.values())
 
 

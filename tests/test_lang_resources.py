@@ -42,3 +42,54 @@ def test_mention_eval_query(ray_session):
     # recall must be perfect; precision high (distractor FPs possible)
     assert (df["recall"] >= 0.99).all(), df.to_string()
     assert (df["precision"] >= 0.9).all(), df.to_string()
+
+
+def test_stopword_breadth_matches_reference():
+    """>= the reference's 134 stopword languages (stopwords.py:5)."""
+    from kawa_ray.state.stopwords import ALL_STOPWORDS, REFERENCE_STOPWORD_LANGS
+
+    assert len(REFERENCE_STOPWORD_LANGS) == 134
+    missing = REFERENCE_STOPWORD_LANGS - set(ALL_STOPWORDS)
+    assert not missing, sorted(missing)
+    for lang in REFERENCE_STOPWORD_LANGS:
+        assert len(ALL_STOPWORDS[lang]) >= 10, lang
+
+
+def test_faker_locale_exports():
+    """B10 export transform (ontology_builder.py:953-1021): every base
+    language of the 57-locale list gets name lists + a PERSON regex."""
+    from kawa_ray.state.faker_locales import (
+        FAKER_LOCALES,
+        export_person_resources,
+        format_to_regex,
+    )
+
+    assert len(FAKER_LOCALES) == 57
+    # the reference's exact string transform on a known format — NOTE the
+    # reference applies .upper() AFTER splicing '\d+' in, so its exported
+    # regexes really say '\D+' (ontology_builder.py:963); reproduced
+    # as-documented, like the B12 parenthesisation quirk
+    assert format_to_regex(["{{first_name}} {{last_name}}"]) == \
+        "<FIRST_NAME>\\D+ <LAST_NAME>\\D+"
+    res = export_person_resources()
+    base_langs = {loc.split("_")[0] for loc in FAKER_LOCALES}
+    assert set(res) == base_langs
+    for lang, r in res.items():
+        assert r.get("FIRST_NAME"), lang
+        assert r.get("LAST_NAME"), lang
+        regexes = r.get("ner_regexes", [])
+        assert regexes and all(t[0] == "PERSON" for t in regexes), lang
+    # multi-locale languages union their locales' regexes (one per locale)
+    assert len(res["en"]["ner_regexes"]) == 6
+    assert len(res["fr"]["ner_regexes"]) == 4
+
+
+def test_lang_resources_census_breadth(ray_session):
+    from kawa_ray.pipelines.lang_resources_query import lang_resources_census
+
+    df = lang_resources_census("/root/testdata/sf0.001")
+    assert len(df) >= 134
+    en = df[df["lang"] == "en"].iloc[0]
+    assert en["n_stopwords"] >= 10
+    assert en["n_first_names"] > 0 and en["n_ner_regexes"] == 6
+    assert en["has_gender_swap"] == 1

@@ -51,15 +51,22 @@ def all_query_names():
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from kawa_ray.pipelines.registry import QUERIES
+    from kawa_ray.pipelines.registry import EXTRA_QUERIES, QUERIES
 
-    return sorted(QUERIES)
+    return sorted(QUERIES) + sorted(EXTRA_QUERIES)
 
 
 @pytest.mark.parametrize("name", all_query_names())
 def test_query_against_oracle(name, oracle_con, ray_session):
-    from kawa_ray.pipelines.registry import ORACLE_SQL, QUERIES
+    from kawa_ray.pipelines.registry import (
+        EXTRA_ORACLE_SQL,
+        EXTRA_QUERIES,
+        ORACLE_SQL,
+        QUERIES,
+    )
 
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
+    ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
     got = _to_pandas(QUERIES[name](SF_DIR))
     assert got is not None and len(got) >= 0
     sql = ORACLE_SQL.get(name)

@@ -67,7 +67,10 @@ def test_ann_lsh_recall_vs_brute_force(ray_session):
         want = set(exact[exact["query_id"] == qid]["neighbor_id"])
         got = set(approx[approx["query_id"] == qid]["neighbor_id"])
         recalls.append(len(want & got) / len(want))
-    assert sum(recalls) / len(recalls) >= 0.6, recalls  # LSH trades recall harder
+    # (32 tables x 5 planes) holds per-query recall >= 0.8 even in the
+    # fixture's low-cosine regime — the driver gate ann_lsh_recall
+    # asserts the same bound per query
+    assert min(recalls) >= 0.8, recalls
 
 
 def test_embedding_neardup_census_consistent(ray_session):
@@ -84,3 +87,62 @@ def test_embedding_neardup_census_consistent(ray_session):
     assert int(census["n_groups"].iloc[0]) + int(census["n_duplicates"].iloc[0]) == n
     if len(pairs):
         assert int(census["n_duplicates"].iloc[0]) > 0
+
+
+def test_embedding_neardup_banded_skewed_label(ray_session, tmp_path):
+    """Round-2 VERDICT item 2: one label holding ~90% of all vectors must
+    not recreate the O(n^2)-in-one-worker shape.  The banded path fans the
+    hot label out across (band, key) segments; result equals an
+    independent driver-side mirror of the banding + verify definition."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kawa_ray.pipelines.vectors import (
+        _EMB_PLANES_PER_BAND,
+        _EMB_BANDS,
+        _EMB_QUANT,
+        _emb_planes,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    M = rng.standard_normal((n, dim))
+    # plant near-dup clusters inside the hot label
+    for base in (0, 5, 11):
+        for k in range(1, 4):
+            M[base + 40 * k] = M[base] + rng.standard_normal(dim) * 0.05
+    labels = np.zeros(n, dtype=np.int32)
+    labels[int(n * 0.9):] = 1  # 90% of vectors share label 0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    got = embedding_neardup_pairs(str(tmp_path))
+
+    # independent mirror: same banding definition, evaluated all at once
+    Mf = M.astype(np.float32).astype(np.float64)
+    C = _emb_planes(dim)
+    q = np.floor(Mf * _EMB_QUANT).astype(np.int64)
+    bits = (q @ C.T) > 0
+    pows = (1 << np.arange(_EMB_PLANES_PER_BAND)).astype(np.int64)
+    keys = np.stack([
+        bits[:, b * _EMB_PLANES_PER_BAND:(b + 1) * _EMB_PLANES_PER_BAND] @ pows
+        for b in range(_EMB_BANDS)
+    ], axis=1)  # (n, bands)
+    Mn = Mf / np.clip(np.linalg.norm(Mf, axis=1, keepdims=True), 1e-12, None)
+    S = Mn @ Mn.T
+    want = set()
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if labels[i] != labels[j]:
+                continue
+            if (keys[i] == keys[j]).any() and S[i, j] >= 0.35:
+                want.add((i, j))
+    assert set(zip(got["a"], got["b"])) == want
+    assert len(want) >= 9  # the planted clusters collide in some band
