@@ -68,8 +68,12 @@ def run_bench() -> dict:
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
         from kawa_ray.pipelines import builder, docs, media, relational, vectors
+        from kawa_ray.pipelines.yago_validate import yago_validate
 
         for name, fn in (
+            ("doc_profile_stats", docs.doc_profile_stats),
+            ("embedding_neardup_census", vectors.embedding_neardup_census),
+            ("yago_validate", yago_validate),
             ("q1_pricing_summary", relational.q1_pricing_summary),
             ("q3_top_orders", relational.q3_top_orders),
             ("events_dedup_first", relational.events_dedup_first),

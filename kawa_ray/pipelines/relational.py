@@ -837,16 +837,18 @@ def purchase_window_range_join(sf_dir: str):
         out["event_type"] += df["event_type"].tolist()
         out["t0"] += us.tolist()
         out["t1"] += [0] * len(df)
-        # intervals (purchases) replicated per overlapped bucket
-        p = us[df["event_type"] == "purchase"]
-        for s_us in p.tolist():
-            e_us = s_us + W_US
-            for b in range(s_us // W_US, e_us // W_US + 1):
-                out["bucket"].append(b)
-                out["kind"].append("i")
-                out["event_type"].append("")
-                out["t0"].append(s_us)
-                out["t1"].append(e_us)
+        # intervals (purchases) replicated per overlapped bucket —
+        # vectorised: window == bucket width, so every interval
+        # [s, s + W] overlaps exactly buckets s//W and s//W + 1
+        p = us[df["event_type"] == "purchase"].to_numpy()
+        if len(p):
+            b0 = p // W_US
+            out["bucket"] += np.concatenate([b0, b0 + 1]).tolist()
+            out["kind"] += ["i"] * (2 * len(p))
+            out["event_type"] += [""] * (2 * len(p))
+            s2 = np.tile(p, 2)
+            out["t0"] += s2.tolist()
+            out["t1"] += (s2 + W_US).tolist()
         return pa.table({
             "bucket": pa.array(out["bucket"], pa.int64()),
             "kind": pa.array(out["kind"], pa.string()),
