@@ -15,24 +15,28 @@ from __future__ import annotations
 import pandas as pd
 
 from kawa_ray.state.faker_locales import export_person_resources
+from kawa_ray.state.lang_names import LANG_NAMES, lang_name
 from kawa_ray.state.lang_resources import BINARY_GENDER_SWAP, build_lang_resources
 from kawa_ray.state.stopwords import ALL_STOPWORDS
 
 
 def lang_resources_census(sf_dir: str) -> pd.DataFrame:
-    """One row per language across all resource layers: stopword count,
-    exported name-list sizes, PERSON-regex count, gender-swap presence.
-    ``sf_dir`` is unused (fixture-derived resources; the signature is
-    the registry contract)."""
+    """One row per language across all resource layers: English name
+    (166-lang map parity, B15), stopword count, exported name-list
+    sizes, PERSON-regex count, gender-swap presence.  ``sf_dir`` is
+    unused (fixture-derived resources; the signature is the registry
+    contract)."""
     roster_res = build_lang_resources()
     person_res = export_person_resources()
-    langs = sorted(set(ALL_STOPWORDS) | set(roster_res) | set(person_res))
+    langs = sorted(set(ALL_STOPWORDS) | set(roster_res) | set(person_res)
+                   | set(LANG_NAMES))
     rows = []
     for lang in langs:
         r = roster_res.get(lang, {})
         p = person_res.get(lang, {})
         rows.append({
             "lang": lang,
+            "lang_name": lang_name(lang),
             "n_stopwords": len(ALL_STOPWORDS.get(lang, ())),
             "n_first_names": len(set(p.get("FIRST_NAME", []))
                                  | set(r.get("FIRST_NAME", []))),

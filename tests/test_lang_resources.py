@@ -93,3 +93,24 @@ def test_lang_resources_census_breadth(ray_session):
     assert en["n_stopwords"] >= 10
     assert en["n_first_names"] > 0 and en["n_ner_regexes"] == 6
     assert en["has_gender_swap"] == 1
+
+
+def test_lang_names_166():
+    """B15: the 166-language code->name map matches the reference's
+    coverage (ontology_builder_data.py:47)."""
+    from kawa_ray.state.lang_names import LANG_NAMES, lang_name
+
+    assert len(LANG_NAMES) == 166
+    ref_codes = set(
+        """af als am an ar arz as ast av az azb ba bar bcl be bg bh bn bo bpy
+        br bs bxr ca cbk ce ceb ckb cs cv cy da de diq dsb dv el eml en eo es
+        et eu fa fi fr frr fy ga gd gl gn gom gu he hi hr hsb ht hu hy ia id
+        ie ilo io is it ja jbo jv ka kk km kn ko krc ku kv kw ky la lb lez li
+        lmo lo lrc lt lv mai mg mhr min mk ml mn mr mrj ms mt mwl my myv mzn
+        nah nap nds ne new nl nn no oc or os pa pam pl pms pnb ps pt qu rm ro
+        ru sa sah scn sd sh si sk sl so sq sr su sv sw ta te tg th tk tl tr
+        tt tyv ug uk ur uz vec vi vo wa war wuu xal xmf yi yo yue zh""".split()
+    )
+    assert set(LANG_NAMES) == ref_codes
+    assert lang_name("hi_rom") == "Hindi"  # romanised variants resolve
+    assert lang_name("xx") == "xx"
