@@ -1062,14 +1062,21 @@ def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# GPT-2-style pre-tokenizer shape (contractions | space?+letter-run |
+# space?+digit-run | space?+other-run).  Both engines evaluate it with
+# RE2 (pyarrow.compute and DuckDB), so parity is by construction — no
+# Python-re-vs-RE2 class divergence.
+BPE_TOKEN_PAT = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def doc_profile_stats(sf_dir: str):
-    """Per-language text profile — doc counts, whitespace token totals,
-    punctuation / space / char totals — in ONE fully-Arrow-vectorised
-    pass (``pc.split_pattern_regex`` / ``count_substring_regex``; no
-    per-row Python).  Merges the round-2 ``docs_per_lang`` /
-    ``token_count_stats`` / ``punctuation_stats`` queries so the full
-    registry fits the driver's 50-query correctness window; the
-    originals stay pytest-oracled via ``EXTRA_QUERIES``."""
+    """Per-language text profile — doc counts, whitespace + BPE-ish
+    token totals, punctuation / space / char totals — in ONE
+    fully-Arrow-vectorised pass (``pc.split_pattern_regex`` /
+    ``count_substring_regex``; no per-row Python).  Merges the round-2
+    ``docs_per_lang`` / ``token_count_stats`` / ``punctuation_stats``
+    queries so the full registry fits the driver's 50-query correctness
+    window; the originals stay pytest-oracled via ``EXTRA_QUERIES``."""
     ds = _read_docs(sf_dir, ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1086,14 +1093,15 @@ def doc_profile_stats(sf_dir: str):
             "lang": t.column("lang"),
             "n": pa.array([1] * t.num_rows, pa.int64()),
             "tokens": ntoks,
+            "bpe": pc.cast(pc.count_substring_regex(text, BPE_TOKEN_PAT), pa.int64()),
             "punct": pc.cast(pc.count_substring_regex(text, "[.!?,;:]"), pa.int64()),
             "spaces": pc.cast(pc.count_substring(text, " "), pa.int64()),
             "chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
         return tt.group_by("lang").aggregate(
-            [("n", "sum"), ("tokens", "sum"), ("punct", "sum"),
+            [("n", "sum"), ("tokens", "sum"), ("bpe", "sum"), ("punct", "sum"),
              ("spaces", "sum"), ("chars", "sum")]
-        ).rename_columns(["lang", "n", "tokens", "punct", "spaces", "chars"])
+        ).rename_columns(["lang", "n", "tokens", "bpe", "punct", "spaces", "chars"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1101,6 +1109,7 @@ def doc_profile_stats(sf_dir: str):
         .aggregate(
             Sum("n", alias_name="n_docs"),
             Sum("tokens", alias_name="total_tokens"),
+            Sum("bpe", alias_name="bpe_tokens"),
             Sum("punct", alias_name="punct_chars"),
             Sum("spaces", alias_name="space_chars"),
             Sum("chars", alias_name="total_chars"),
@@ -1110,11 +1119,14 @@ def doc_profile_stats(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
-DOC_PROFILE_SQL = """
+_BPE_PAT_SQL = BPE_TOKEN_PAT.replace("'", "''")
+
+DOC_PROFILE_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
                 ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_PAT_SQL}'))) AS BIGINT) AS bpe_tokens,
        CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))) AS BIGINT) AS punct_chars,
        CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS space_chars,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars

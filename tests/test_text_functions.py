@@ -163,3 +163,19 @@ def test_winnow_fingerprints_census(ray_session):
     assert (out["n_docs"] > 0).all()
     assert (out["n_fingerprints"] >= out["n_docs"]).all()  # >=1 fp per doc
     assert (out["n_distinct"] <= out["n_fingerprints"]).all()
+
+
+def test_bpe_token_pattern():
+    """BPE-ish pre-tokenizer (GPT-2 shape): contractions split, letter /
+    digit / other runs with optional leading space; RE2 on both engines
+    (pyarrow + DuckDB) so the doc_profile_stats oracle is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kawa_ray.pipelines.docs import BPE_TOKEN_PAT
+
+    counts = pc.count_substring_regex(
+        pa.array(["I can't stop", "42 shops, 7 cats!", ""]), BPE_TOKEN_PAT
+    ).to_pylist()
+    # "I|" can|'t|" stop" = 4 ; "42|" shops|,|" 7"|" cats"|! = 6 ; "" = 0
+    assert counts == [4, 6, 0]
