@@ -58,16 +58,26 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def token_count_stats(sf_dir: str):
-    """Whitespace token counting (vectorised per batch) + grouped sums."""
+    """Whitespace token counting (Arrow-vectorised per batch) + grouped sums."""
     ds = _read_docs(sf_dir, ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        counts = [len(_WS.split(s.strip())) if s.strip() else 0 for s in df["text"]]
-        df2 = pd.DataFrame({"lang": df["lang"], "tokens": counts})
-        g = df2.groupby("lang", sort=False)["tokens"].agg(["sum", "size"]).reset_index()
-        g.columns = ["lang", "total_tokens", "n"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        ntoks = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()),
+        )
+        tt = pa.table({
+            "lang": t.column("lang"),
+            "tokens": ntoks,
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        return tt.group_by("lang").aggregate(
+            [("tokens", "sum"), ("n", "sum")]
+        ).rename_columns(["lang", "total_tokens", "n"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -204,8 +204,51 @@ def er_word2ner_stats(sf_dir: str):
         .aggregate(Sum("weight", alias_name="weight"), Sum("n", alias_name="n_words"))
         .to_pandas()
     )
-    out["weight"] = out["weight"].round(4)
+    # no rounding here: the driver compare rounds both sides to 6dp, and
+    # the ~1e-13 float-summation-order delta vs the SQL oracle sits far
+    # below that (rounding to 4dp on one side would REINTRODUCE a
+    # half-even-vs-half-away divergence instead of removing one)
     return out.sort_values("label").reset_index(drop=True)
+
+
+def _er_word2ner_stats_sql() -> str:
+    """Exact SQL oracle for ``er_word2ner_stats``: the deterministic
+    roster word2ner fixture inlined as VALUES (same generator call), the
+    reference weight formula recomputed natively in SQL —
+    weight = (w or 1) + 1/(1+sqrt(len(word)+n_underscore_parts)), scaled
+    by the per-label factor — so the grouped sum is an independent
+    recomputation, not a replay."""
+    from kawa_ray.config import LABEL_WEIGHT_FACTORS
+    from kawa_ray.sources.roster import build_roster, roster_word2ner
+
+    rows = list(roster_word2ner(build_roster(300)))
+    vals = ",\n    ".join(
+        "('{}','{}',{})".format(
+            r[0].replace("'", "''"), r[1].replace("'", "''"),
+            float(r[2]) if len(r) > 2 and r[2] else 0.0,
+        )
+        for r in rows
+    )
+    factors = " ".join(
+        f"WHEN '{lbl}' THEN {f}" for lbl, f in sorted(LABEL_WEIGHT_FACTORS.items())
+    )
+    return f"""
+WITH w2n(word, label, w) AS (VALUES
+    {vals}
+), weighted AS (
+  SELECT label,
+         (CASE WHEN w = 0 THEN 1.0 ELSE w END
+          + 1.0 / (1.0 + SQRT(LENGTH(word)
+                              + LENGTH(word) - LENGTH(REPLACE(word, '_', '')) + 1)))
+         * (CASE label {factors} ELSE 1.0 END) AS wt
+  FROM w2n
+)
+SELECT label, SUM(wt) AS weight, COUNT(*) AS n_words
+FROM weighted GROUP BY label ORDER BY label
+"""
+
+
+ER_WORD2NER_STATS_SQL = _er_word2ner_stats_sql()
 
 
 def er_mention_eval(sf_dir: str):

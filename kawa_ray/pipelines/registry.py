@@ -90,6 +90,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "er_word2ner_stats": er_queries.ER_WORD2NER_STATS_SQL,
     "yago_validate": YAGO_VALIDATE_SQL,
     "word2ner_fix": word2ner_fix.WORD2NER_FIX_SQL,
     "multilingual_map": MULTILINGUAL_MAP_SQL,
