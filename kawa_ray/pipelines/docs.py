@@ -167,14 +167,18 @@ def punctuation_stats(sf_dir: str):
     ds = _read_docs(sf_dir, ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df2 = pd.DataFrame(
-            {"lang": df["lang"], "punct": [len(_PUNCT.findall(s)) for s in df["text"]],
-             "ws": [s.count(" ") for s in df["text"]],
-             "chars": [len(s) for s in df["text"]]}
-        )
-        g = df2.groupby("lang", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        import pyarrow.compute as pc
+
+        text = t.column("text")
+        tt = pa.table({
+            "lang": t.column("lang"),
+            "punct": pc.cast(pc.count_substring_regex(text, "[.!?,;:]"), pa.int64()),
+            "ws": pc.cast(pc.count_substring(text, " "), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+        return tt.group_by("lang").aggregate(
+            [("punct", "sum"), ("ws", "sum"), ("chars", "sum")]
+        ).rename_columns(["lang", "punct", "ws", "chars"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -150,6 +150,7 @@ EXTRA_QUERIES = {
     "media_resize_plan": media.media_resize_plan,
     "ann_lsh_topk": vectors.ann_lsh_topk,
     "ann_ivf_topk": vectors.ann_ivf_topk,
+    "ann_faiss_topk": vectors.ann_faiss_topk,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -169,6 +170,9 @@ EXTRA_ORACLE_SQL = {
     "embedding_label_stats": vectors.EMBEDDING_LABEL_STATS_SQL,
     "media_feature_census": media.MEDIA_FEATURE_CENSUS_SQL,
     "media_resize_plan": media.MEDIA_RESIZE_SQL,
+    # exact in the sandbox (numpy fallback == brute force); with real
+    # faiss the float32 index path is absorbed by the 4dp rounding
+    "ann_faiss_topk": vectors.ANN_TOPK_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"

@@ -433,7 +433,7 @@ def region_revenue(sf_dir: str):
     def partial(t: pa.Table, _ref=maps_ref) -> pa.Table:
         n2r, c2n = ray.get(_ref)
         df = t.to_pandas()
-        df["region"] = [n2r.get(c2n.get(c), "UNKNOWN") for c in df["o_custkey"]]
+        df["region"] = df["o_custkey"].map(c2n).map(n2r).fillna("UNKNOWN")
         g = df.groupby("region", sort=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "count")
         ).reset_index()

@@ -81,6 +81,40 @@ def ann_topk(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank", "cosine"]]
 
 
+def ann_faiss_topk(sf_dir: str):
+    """Shard-indexed cosine top-k via the FAISS adapter stage: each
+    actor pins the query matrix once (``__init__``), builds one
+    inner-product index per table shard (FAISS when importable, exact
+    matmul fallback otherwise — bit-equal to ``ann_topk`` in the
+    fallback world), and emits per-shard top-k partials; the driver
+    merges k·n_shards candidate rows, never the table."""
+    from kawa_ray.stages.faiss_ann import ShardIndexTopK
+
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qn))
+
+    parts = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(
+            ShardIndexTopK,
+            fn_constructor_kwargs={"q_ref": q_ref, "k": TOP_K},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts["cosine"] = parts["cosine"].round(4)
+    parts = parts.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = parts.groupby("query_id", sort=True).head(TOP_K).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
 ANN_TOPK_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe

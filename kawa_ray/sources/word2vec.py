@@ -145,7 +145,7 @@ def load_word2vec(paths: str | list[str], dim: int = 16) -> rd.Dataset:
     parsed = files.flat_map(lambda row: _parse_file(row, dim))
 
     def add_key(df: pd.DataFrame) -> pd.DataFrame:
-        df["key"] = [w.lower() for w in df["word"]]
+        df["key"] = df["word"].str.lower()
         return df
 
     return (

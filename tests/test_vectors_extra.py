@@ -146,3 +146,35 @@ def test_embedding_neardup_banded_skewed_label(ray_session, tmp_path):
                 want.add((i, j))
     assert set(zip(got["a"], got["b"])) == want
     assert len(want) >= 9  # the planted clusters collide in some band
+
+
+def test_ann_faiss_topk_matches_brute_force(ray_session):
+    """The shard-index adapter (exact fallback in the sandbox; real
+    FAISS when importable) must reproduce ann_topk row-for-row."""
+    import pandas as pd
+
+    from kawa_ray.pipelines.vectors import ann_faiss_topk, ann_topk
+
+    exact = ann_topk(SF_DIR).reset_index(drop=True)
+    via_index = ann_faiss_topk(SF_DIR).reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_index, exact, check_dtype=False)
+
+
+def test_shard_topk_kernel_sorted_descending():
+    """The fallback kernel emits faiss.IndexFlatIP.search's layout:
+    per-query rows sorted by descending inner product."""
+    import numpy as np
+
+    from kawa_ray.stages.faiss_ann import _shard_topk
+
+    rng = np.random.default_rng(7)
+    Q = rng.normal(size=(3, 8))
+    M = rng.normal(size=(50, 8))
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    scores, idx = _shard_topk(qn, Mn, 5)
+    assert scores.shape == (3, 5) and idx.shape == (3, 5)
+    full = qn @ Mn.T
+    for qi in range(3):
+        assert (np.diff(scores[qi]) <= 1e-12).all()
+        np.testing.assert_allclose(scores[qi], np.sort(full[qi])[::-1][:5])
