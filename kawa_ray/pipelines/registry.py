@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, media, relational, vectors, word2ner_fix
+from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, kb_maintenance, media, relational, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -77,7 +77,10 @@ QUERIES = {
     "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
     "doc_winnow_fingerprints": docs.doc_winnow_fingerprints,
     "docs_split_assign": docs.docs_split_assign,
-    "docs_sample_stats": docs.docs_sample_stats,
+    # K3 upsert/remap/defragment semantics, driver-visible (the
+    # split/sample family keeps docs_split_assign in the window;
+    # docs_sample_stats moved to the pytest tier to stay within 50)
+    "kb_defragment": kb_maintenance.kb_defragment,
     # ---- similarity search over embeddings ----
     "ann_topk": vectors.ann_topk,
     "ann_lsh_recall": vectors.ann_lsh_recall,
@@ -120,7 +123,7 @@ ORACLE_SQL = {
     "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
     "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,
     "docs_split_assign": docs.DOCS_SPLIT_SQL,
-    "docs_sample_stats": docs.DOCS_SAMPLE_SQL,
+    "kb_defragment": kb_maintenance.KB_DEFRAGMENT_SQL,
     "ann_topk": vectors.ANN_TOPK_SQL,
     "ann_lsh_recall": vectors.ANN_RECALL_SQL,
     "ann_ivf_recall": vectors.ANN_RECALL_SQL,
@@ -151,6 +154,8 @@ EXTRA_QUERIES = {
     "ann_lsh_topk": vectors.ann_lsh_topk,
     "ann_ivf_topk": vectors.ann_ivf_topk,
     "ann_faiss_topk": vectors.ann_faiss_topk,
+    "docs_sample_stats": docs.docs_sample_stats,
+    "kb_point_lookups": kb_maintenance.kb_point_lookups,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -173,6 +178,8 @@ EXTRA_ORACLE_SQL = {
     # exact in the sandbox (numpy fallback == brute force); with real
     # faiss the float32 index path is absorbed by the 4dp rounding
     "ann_faiss_topk": vectors.ANN_TOPK_SQL,
+    "docs_sample_stats": docs.DOCS_SAMPLE_SQL,
+    "kb_point_lookups": kb_maintenance.KB_POINT_LOOKUPS_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
