@@ -309,6 +309,15 @@ class LexiconIndex:
 
     # --------------------------------------------------------------- detect
 
+    # Bounded per-index memo sizes.  detect() runs over a FROZEN lexicon
+    # (build-time self-checks call ``lookup`` directly while levels are
+    # still mutating, so the caches live at the detect call site only).
+    # Corpus surfaces repeat heavily (sf0.01: 115k lookups over 21k
+    # distinct surfaces; the ratio improves with corpus size), so a
+    # surface->result memo removes most lookup/shingle work per actor.
+    _LOOKUP_CACHE_MAX = 1 << 18
+    _MISS = object()
+
     def detect(
         self,
         text: str,
@@ -331,6 +340,15 @@ class LexiconIndex:
         sw = stopwords_for(lang)
         conn = self.connector
         cutoff = level_to_shingle_cutoff(0)
+        # ngram_bounds is a pure function of the frozen levels and sees a
+        # tiny key space (start words truncated to the level-0 cutoff)
+        bcache = self.__dict__.setdefault("_bounds_cache", {})
+        # lookup memo: (lang, caps flag, target-lexicon identity, surface).
+        # target lexicons are held for the lifetime of the detection actor
+        # (stages/mentions.py) so id() is a stable discriminator here.
+        lcache = self.__dict__.setdefault("_lookup_cache", {})
+        miss = self._MISS
+        lctx = (lang, check_caps, id(target_lexicon))
         if cjk_detect(text):
             text = cjk_segment_text(text)
         sent: list[str | None] = text.strip().split()
@@ -347,7 +365,10 @@ class LexiconIndex:
                 continue
             start_word = start_word.translate(TRANNUM).split(conn)[0]
             start_word = start_word[:cutoff]
-            lo, hi = self.ngram_bounds(start_word)
+            bounds = bcache.get(start_word)
+            if bounds is None:
+                bounds = bcache[start_word] = self.ngram_bounds(start_word)
+            lo, hi = bounds
             matched = False
             if lo > 0:
                 for j in range(lo - 1, max(hi - 2, -1), -1):
@@ -361,10 +382,16 @@ class LexiconIndex:
                         break
                     if word_arr[-1].lower() in sw:
                         continue
-                    _, label = self.lookup(
-                        surface, sw, check_caps=check_caps, suppress_cjk=True,
-                        target_lexicon=target_lexicon,
-                    )
+                    hit = lcache.get((lctx, surface), miss)
+                    if hit is miss:
+                        hit = self.lookup(
+                            surface, sw, check_caps=check_caps, suppress_cjk=True,
+                            target_lexicon=target_lexicon,
+                        )
+                        if len(lcache) >= self._LOOKUP_CACHE_MAX:
+                            lcache.clear()
+                        lcache[(lctx, surface)] = hit
+                    _, label = hit
                     if label is None:
                         continue
                     # trailing-dot abbreviation fix (ontology_manager.py:709-712)
