@@ -60,12 +60,19 @@ class MentionDetector:
         # loaded into the target-language lookup layer,
         # ontology_manager.py:140-144,571-582)
         self.lang_lexicons = lang_lexicons or {}
+        # surface -> norm memo: surfaces repeat heavily across docs (same
+        # entities); bounded so regex-typed surfaces (phone numbers, IPs —
+        # unbounded vocab at corpus scale) can't grow the actor heap
+        self._norm_cache: dict[str, str] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         texts = batch.column("text").to_pylist()
         langs = batch.column("lang").to_pylist()
         out = {k: [] for k in ("url", "mention_id", "surface", "norm", "start", "end", "label", "lang")}
+        norm_cache = self._norm_cache
+        if len(norm_cache) > 500_000:
+            norm_cache.clear()
         for url, text, lang in zip(urls, texts, langs):
             occ: dict[str, int] = {}
             dets = self.lexicon.detect(
@@ -75,7 +82,10 @@ class MentionDetector:
             if self.with_regex_ner:
                 dets = dets + regex_mentions(text)
             for surface, start, end, label in dets:
-                norm = normalize_surface(surface)
+                norm = norm_cache.get(surface)
+                if norm is None:
+                    norm = normalize_surface(surface)
+                    norm_cache[surface] = norm
                 k = occ.get(norm, 0)
                 occ[norm] = k + 1
                 out["url"].append(url)
