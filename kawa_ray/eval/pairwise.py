@@ -85,3 +85,38 @@ def pairwise_f1(labeled_pairs, norm2cluster: dict[str, str]) -> dict[str, float]
         "precision": precision, "recall": recall, "f1": f1,
         "n_pairs": len(labeled_pairs),
     }
+
+
+def bcubed_scores(gold_mentions: pa.Table, norm2cluster: dict[str, str]) -> dict[str, float]:
+    """Mention-level B-cubed precision/recall/F1 (Bagga & Baldwin 1998)
+    — the standard clustering complement to the pairwise gate: pairwise
+    F1 weights big clusters quadratically, B³ weights every mention
+    equally, so the two together catch both "merged giants" and
+    "shattered tails".
+
+    Computed from contingency counts, never pair enumeration:
+    ``P = (1/N) Σ_{c,g} n_cg² / n_c`` and ``R = (1/N) Σ_{c,g} n_cg² / n_g``
+    over the (predicted cluster, gold entity) co-occurrence table — an
+    O(distinct pairs) pandas groupby, so at corpus scale it runs as the
+    same partial-count aggregate every census in this repo uses.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "norm": gold_mentions.column("norm").to_pylist(),
+            "gold": gold_mentions.column("entity_id").to_pylist(),
+        }
+    )
+    df["pred"] = [norm2cluster.get(n, n) for n in df["norm"]]
+    n = len(df)
+    if not n:
+        return {"b3_precision": 0.0, "b3_recall": 0.0, "b3_f1": 0.0, "n_mentions": 0}
+    cg = df.groupby(["pred", "gold"], sort=False).size().rename("n_cg").reset_index()
+    n_c = df.groupby("pred", sort=False).size().rename("n_c")
+    n_g = df.groupby("gold", sort=False).size().rename("n_g")
+    cg = cg.join(n_c, on="pred").join(n_g, on="gold")
+    p = float((cg["n_cg"] ** 2 / cg["n_c"]).sum() / n)
+    r = float((cg["n_cg"] ** 2 / cg["n_g"]).sum() / n)
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"b3_precision": p, "b3_recall": r, "b3_f1": f1, "n_mentions": n}

@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from kawa_ray.config import LinkageConfig
-from kawa_ray.eval.pairwise import gold_labeled_pairs, pairwise_f1
+from kawa_ray.eval.pairwise import bcubed_scores, gold_labeled_pairs, pairwise_f1
 from kawa_ray.sources.pages import ensure_pages, sf_of_dir
 
 _LINK_CACHE: dict[str, dict] = {}
@@ -89,6 +89,7 @@ def er_eval(sf_dir: str):
     gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"))
     cfg = LinkageConfig()
     m = pairwise_f1(gold_labeled_pairs(gold, cfg), res["norm2cluster"])
+    b3 = bcubed_scores(gold, res["norm2cluster"])
     return pd.DataFrame(
         {
             "n_labeled_pairs": [m["n_pairs"]],
@@ -96,6 +97,12 @@ def er_eval(sf_dir: str):
             "precision": [round(m["precision"], 4)],
             "recall": [round(m["recall"], 4)],
             "f1": [round(m["f1"], 4)],
+            # mention-level B³ (equal weight per mention) alongside the
+            # pairwise gate — catches shattered-tail/merged-giant failure
+            # modes the quadratic pairwise metric underweights
+            "b3_precision": [round(b3["b3_precision"], 4)],
+            "b3_recall": [round(b3["b3_recall"], 4)],
+            "b3_f1": [round(b3["b3_f1"], 4)],
         }
     )
 

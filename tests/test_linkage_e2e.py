@@ -146,3 +146,45 @@ def test_clusters_invariant_to_batching(ray_session):
                                       detect_concurrency=3))
     assert a["norm2cluster"] == b["norm2cluster"]
     assert a["n_pairs"] == b["n_pairs"]
+
+
+def test_bcubed_hand_computed():
+    """B³ on the textbook example: gold {a,b,c | d,e}, predicted {a,b | c,d,e}.
+
+    Per-mention precision: a,b -> 1, c -> 1/3, d,e -> 2/3  => P = (2 + 1/3 + 4/3)/5
+    Per-mention recall:    a,b -> 2/3, c -> 1/3, d,e -> 1  => R = (4/3 + 1/3 + 2)/5
+    """
+    import pyarrow as pa
+
+    from kawa_ray.eval.pairwise import bcubed_scores
+
+    gold = pa.table({
+        "norm": ["a", "b", "c", "d", "e"],
+        "entity_id": [1, 1, 1, 2, 2],
+    })
+    pred = {"a": "x", "b": "x", "c": "y", "d": "y", "e": "y"}
+    m = bcubed_scores(gold, pred)
+    assert abs(m["b3_precision"] - (2 + 1 / 3 + 4 / 3) / 5) < 1e-12
+    assert abs(m["b3_recall"] - (4 / 3 + 1 / 3 + 2) / 5) < 1e-12
+    assert m["n_mentions"] == 5
+
+
+def test_bcubed_reaches_blocking_ceiling(linked):
+    """B³ counts ALL gold co-membership, so its recall is bounded by the
+    blocking graph (alias pairs that share no key can never link — the
+    north rule scopes its F1 to shared keys for exactly this reason).
+    The invariant we pin: B³ precision is perfect AND our B³ equals the
+    best-achievable B³ given the blocking graph (transitive closure of
+    the gold-same labeled pairs) — i.e. the linkage itself loses nothing
+    on top of blocking."""
+    from kawa_ray.eval.pairwise import bcubed_scores, gold_labeled_pairs
+    from kawa_ray.stages.clustering import union_find_components
+
+    _, res, gold = linked
+    cfg = LinkageConfig()
+    m = bcubed_scores(gold, res["norm2cluster"])
+    assert m["b3_precision"] >= 0.99, m
+    same = [(a, b) for a, b, _k, s in gold_labeled_pairs(gold, cfg) if s]
+    norms = sorted(set(gold.column("norm").to_pylist()))
+    ceiling = bcubed_scores(gold, union_find_components(same, norms))
+    assert m["b3_f1"] >= ceiling["b3_f1"] - 1e-9, (m, ceiling)
