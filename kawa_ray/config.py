@@ -105,6 +105,13 @@ class LinkageConfig:
     hot_key_threshold: int = 64     # keys with more mentions than this get salted
     n_salts: int = 8
     max_pairs_per_block: int = 2048
+    # KB-alias channel: norms present in the entity KB's alias dictionary
+    # additionally block on ``kb:<entity_id>`` and pairs that the dictionary
+    # maps to ONE entity are edges outright — the reference's
+    # dictionary-based linking (ontology lookup surface -> entity) as a
+    # blocking+scoring channel.  This is what bridges cross-script aliases
+    # (zh/ja/ko/ar vs latin) that share no lexical key.
+    kb_blocking: bool = True
 
     # Scoring weights: score = w_jw*jw + w_lev*(1-lev_norm) + w_cos*cos
     w_jw: float = 0.30

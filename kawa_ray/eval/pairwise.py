@@ -22,11 +22,14 @@ from kawa_ray.functions.minhash import hash64
 from kawa_ray.stages.blocking import block_keys_for
 
 
-def gold_labeled_pairs(gold_mentions: pa.Table, cfg: LinkageConfig) -> list[tuple[str, str, str, bool]]:
+def gold_labeled_pairs(gold_mentions: pa.Table, cfg: LinkageConfig,
+                       ent_of: dict[str, int] | None = None) -> list[tuple[str, str, str, bool]]:
     """-> [(norm_a, norm_b, block_key, is_same)] with norm_a < norm_b.
 
     Mirrors the pipeline's blocking: per-key member sets over distinct
-    gold norms, hot keys salted with the identical hash buckets.
+    gold norms, hot keys salted with the identical hash buckets, and —
+    when the pipeline runs with the KB-alias channel — the same
+    ``kb:<entity_id>`` dictionary keys.
     """
     norm2ent: dict[str, int] = {}
     norm_mentions: dict[str, int] = defaultdict(int)
@@ -38,14 +41,16 @@ def gold_labeled_pairs(gold_mentions: pa.Table, cfg: LinkageConfig) -> list[tupl
 
     blocks: dict[str, set[str]] = defaultdict(set)
     for norm in norm2ent:
-        for k in block_keys_for(norm, cfg):
+        for k in block_keys_for(norm, cfg, ent_of):
             blocks[k].add(norm)
 
-    # salt hot keys exactly like the pipeline: block "size" = mention mass
+    # salt hot keys exactly like the pipeline: block "size" = mention mass;
+    # kb: keys are exempt (member-bounded by the alias dictionary — see
+    # stages/blocking.py::salt_block_keys)
     salted: dict[str, set[str]] = {}
     for k, members in blocks.items():
         mass = sum(norm_mentions[n] for n in members)
-        if mass > cfg.hot_key_threshold:
+        if mass > cfg.hot_key_threshold and not k.startswith("kb:"):
             for n in members:
                 salted.setdefault(f"{k}#{hash64(n) % cfg.n_salts}", set()).add(n)
         else:

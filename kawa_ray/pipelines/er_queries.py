@@ -88,7 +88,12 @@ def er_eval(sf_dir: str):
     pages_dir, res = _linked(sf_dir)
     gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"))
     cfg = LinkageConfig()
-    m = pairwise_f1(gold_labeled_pairs(gold, cfg), res["norm2cluster"])
+    from kawa_ray.pipelines.linkage import kb_alias_lookup
+
+    m = pairwise_f1(
+        gold_labeled_pairs(gold, cfg, kb_alias_lookup() if cfg.kb_blocking else None),
+        res["norm2cluster"],
+    )
     b3 = bcubed_scores(gold, res["norm2cluster"])
     return pd.DataFrame(
         {
@@ -410,10 +415,13 @@ def er_salting_report(sf_dir: str):
     sf = sf_of_dir(sf_dir)
     pages_dir = ensure_pages(sf)
     gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"))
+    from kawa_ray.pipelines.linkage import kb_alias_lookup
+
     cfg = LinkageConfig()
     unsalted = replace(cfg, hot_key_threshold=10**9)
-    p_salted = gold_labeled_pairs(gold, cfg)
-    p_unsalted = gold_labeled_pairs(gold, unsalted)
+    ent_of = kb_alias_lookup() if cfg.kb_blocking else None
+    p_salted = gold_labeled_pairs(gold, cfg, ent_of)
+    p_unsalted = gold_labeled_pairs(gold, unsalted, ent_of)
     pos_s = {(a, b) for a, b, _k, same in p_salted if same}
     pos_u = {(a, b) for a, b, _k, same in p_unsalted if same}
     return pd.DataFrame(

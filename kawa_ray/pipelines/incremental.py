@@ -52,11 +52,13 @@ def link_increment(state: dict, pages_dir: str,
         build_nodes,
         default_artifacts,
         detect_mentions,
+        kb_alias_lookup,
         read_pages,
     )
 
     cfg = cfg or LinkageConfig()
     lexicon, embed_obj = default_artifacts(n_entities)
+    ent_of = kb_alias_lookup(embed_obj, n_entities) if cfg.kb_blocking else None
 
     mentions = detect_mentions(read_pages(pages_dir), cfg, lexicon, n_entities).materialize()
     new_counts_df = build_nodes(mentions).materialize().to_pandas()
@@ -72,7 +74,7 @@ def link_increment(state: dict, pages_dir: str,
     nodes_tbl = pa.table(
         {"norm": list(nodes), "n_mentions": pa.array(list(nodes.values()), pa.int64())}
     )
-    keyed = node_block_keys(nodes_tbl, cfg).to_pandas()
+    keyed = node_block_keys(nodes_tbl, cfg, ent_of).to_pandas()
     sizes = keyed.groupby("block_key", sort=False)["n_mentions"].sum()
     hot = {k: int(v) for k, v in sizes.items() if v > cfg.hot_key_threshold}
     keyed = salt_block_keys(keyed, hot, cfg.n_salts)
@@ -89,7 +91,7 @@ def link_increment(state: dict, pages_dir: str,
 
     edges: list[tuple[str, str]] = []
     if len(pairs):
-        scorer = PairScorer(embed_obj=embed_obj, cfg=cfg)
+        scorer = PairScorer(embed_obj=embed_obj, cfg=cfg, ent_of=ent_of)
         sdf = scorer(pa.Table.from_pandas(pairs.reset_index(drop=True))).to_pandas()
         keep = sdf["score"] >= cfg.edge_threshold
         edges = list(zip(sdf.loc[keep, "a"], sdf.loc[keep, "b"]))

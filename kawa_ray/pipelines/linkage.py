@@ -53,6 +53,25 @@ def default_artifacts(n_entities: int = 300):
     return _ARTIFACT_CACHE[key]
 
 
+def kb_alias_lookup(embed_obj=None, n_entities: int = 300) -> dict[str, int]:
+    """KB alias dictionary (norm -> entity id) for the kb: blocking
+    channel and the dictionary-identity edge rule.  Derived from the KB
+    alias table; when the given artifact carries no entity ids (the
+    context-E1 artifact), falls back to the fixture KB — blocking always
+    runs on the dictionary, scoring on whichever embedding channel the
+    config selects."""
+    if embed_obj is not None:
+        norm2row, _m, ents = embed_obj
+        if len(ents) == len(norm2row):
+            return {n: int(ents[r]) for n, r in norm2row.items()}
+    key = f"entof-{n_entities}"
+    if key not in _ARTIFACT_CACHE:
+        _, embed = default_artifacts(n_entities)
+        norm2row, _m, ents = embed
+        _ARTIFACT_CACHE[key] = {n: int(ents[r]) for n, r in norm2row.items()}
+    return _ARTIFACT_CACHE[key]
+
+
 def read_pages(pages_dir: str) -> rd.Dataset:
     """Column-pruned read: the pipeline needs url/html/lang only (the
     golden ``text`` column stays in storage)."""
@@ -105,7 +124,8 @@ def build_nodes(mentions: rd.Dataset, driver_threshold: int = 2_000_000) -> rd.D
 
 
 def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
-                    partitions: int | None = None) -> rd.Dataset:
+                    partitions: int | None = None,
+                    ent_of: dict[str, int] | None = None) -> rd.Dataset:
     """S3+S4: nodes -> deduped candidate pairs (a < b).
 
     Both wide steps shuffle on a HASH PARTITION of their key (block_key /
@@ -126,9 +146,12 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
         nodes_tbl = pa.concat_tables(
             [b for b in nodes.iter_batches(batch_format="pyarrow", batch_size=65536)]
         )
-        return _candidate_pairs_driver(node_block_keys(nodes_tbl, cfg), cfg)
+        return _candidate_pairs_driver(node_block_keys(nodes_tbl, cfg, ent_of), cfg)
+    # ent_of rides the task closure: it is KB-alias-dictionary sized
+    # (bounded by the KB, not the corpus); a multi-GB KB would move to an
+    # explicit ray.put ref like the lexicon does
     keyed = nodes.map_batches(
-        lambda b: node_block_keys(b, cfg), batch_format="pyarrow"
+        lambda b: node_block_keys(b, cfg, ent_of), batch_format="pyarrow"
     ).materialize()  # reused by the census AND the explode below
     n_keyed = keyed.count()
     if partitions is None:
@@ -190,14 +213,14 @@ def _candidate_pairs_driver(keyed, cfg: LinkageConfig) -> rd.Dataset:
 
 
 def score_pairs(pairs: rd.Dataset, cfg: LinkageConfig,
-                embed_obj=None) -> rd.Dataset:
+                embed_obj=None, ent_of: dict[str, int] | None = None) -> rd.Dataset:
     """S5: attach jw/lev/cos/score columns via the scoring actor pool."""
     if embed_obj is None:
         _, embed_obj = default_artifacts()
     embed_ref = ray.put(embed_obj)
     return pairs.map_batches(
         PairScorer,
-        fn_constructor_kwargs={"embed_ref": embed_ref, "cfg": cfg},
+        fn_constructor_kwargs={"embed_ref": embed_ref, "cfg": cfg, "ent_of": ent_of},
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
         # autoscaling pool: tiny pair streams spin up one actor, big ones N
@@ -224,6 +247,9 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     entity_cluster), ``norm2cluster`` (dict), ``n_pairs`` (int)."""
     cfg = cfg or LinkageConfig()
     lexicon, embed_obj = default_artifacts(n_entities)
+    # KB channel from the fixture alias table (captured BEFORE the context
+    # branch may swap the scoring artifact)
+    ent_of = kb_alias_lookup(embed_obj, n_entities) if cfg.kb_blocking else None
     pages = read_pages(pages_dir)
     if cfg.embedding_source == "context":
         # E1: span-pooled corpus context vectors (model encoder when
@@ -256,9 +282,9 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
         # The distributed stages remain the scale path below and are
         # asserted equivalent in tests.
         nodes_df = nodes.to_pandas()
-        keyed = node_block_keys(pa.Table.from_pandas(nodes_df), cfg)
+        keyed = node_block_keys(pa.Table.from_pandas(nodes_df), cfg, ent_of)
         pairs_df = _pairs_driver_df(keyed, cfg)
-        scorer = PairScorer(embed_obj=embed_obj, cfg=cfg)
+        scorer = PairScorer(embed_obj=embed_obj, cfg=cfg, ent_of=ent_of)
         if len(pairs_df):
             scored_tbl = scorer(pa.Table.from_pandas(pairs_df))
             sdf = scored_tbl.to_pandas()
@@ -274,8 +300,8 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
         # size the block count to the data so the blocking/pair shuffles
         # don't pay per-block overhead on near-empty partitions
         nodes = nodes.repartition(max(1, min(64, nodes.count() // 2048 + 1))).materialize()
-        pairs = candidate_pairs(nodes, cfg)
-        scored = score_pairs(pairs, cfg, embed_obj).materialize()
+        pairs = candidate_pairs(nodes, cfg, ent_of=ent_of)
+        scored = score_pairs(pairs, cfg, embed_obj, ent_of=ent_of).materialize()
         norm2cluster = cluster_norms(scored, nodes, cfg)
         n_pairs = scored.count()
     c_ref = ray.put(norm2cluster)

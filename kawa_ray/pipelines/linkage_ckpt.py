@@ -95,7 +95,13 @@ class ClusterShardWorker(ShardWorker):
 def _graph_stage(out_root: str, fingerprint: str, cfg: LinkageConfig,
                  embed_obj) -> dict[str, str]:
     """S3-S6 over the checkpointed mentions; resumable as one partition."""
-    from kawa_ray.pipelines.linkage import build_nodes, candidate_pairs, cluster_norms, score_pairs
+    from kawa_ray.pipelines.linkage import (
+        build_nodes,
+        candidate_pairs,
+        cluster_norms,
+        kb_alias_lookup,
+        score_pairs,
+    )
 
     stage_dir = os.path.join(out_root, "graph")
     manifest = StageManifest(stage="graph", fingerprint=fingerprint, dir=stage_dir)
@@ -109,8 +115,9 @@ def _graph_stage(out_root: str, fingerprint: str, cfg: LinkageConfig,
     mention_paths = stage_output_paths(out_root, "mentions")
     mentions = rd.read_parquet(mention_paths)
     nodes = build_nodes(mentions)
-    pairs = candidate_pairs(nodes, cfg)
-    scored = score_pairs(pairs, cfg, embed_obj)
+    ent_of = kb_alias_lookup(embed_obj) if cfg.kb_blocking else None
+    pairs = candidate_pairs(nodes, cfg, ent_of=ent_of)
+    scored = score_pairs(pairs, cfg, embed_obj, ent_of=ent_of)
     # distinct-surface-pair sized; to_pandas, NOT take_all (per-row
     # Python-dict cost ~0.8 ms/row)
     edges_tbl = pa.Table.from_pandas(scored.to_pandas(), preserve_index=False)

@@ -40,12 +40,24 @@ LINKABLE_LABELS = frozenset(
 )
 
 
-def block_keys_for(norm: str, cfg: LinkageConfig) -> list[str]:
-    """The frozen blocking-key spec for one normalised surface."""
+def block_keys_for(norm: str, cfg: LinkageConfig,
+                   ent_of: dict[str, int] | None = None) -> list[str]:
+    """The frozen blocking-key spec for one normalised surface.
+
+    ``ent_of`` is the KB alias dictionary (norm -> entity id): norms the
+    KB knows additionally block on ``kb:<entity_id>``, which is the only
+    channel that can co-block cross-script aliases (their shingle and
+    char-3-MinHash key sets are disjoint).  The eval oracle receives the
+    SAME dictionary so labeled pairs stay "at the same blocking key".
+    """
     arr = norm.split(CONNECTOR)
     keys = [f"s:{CONNECTOR.join(sh)}" for sh in word_shingles(arr)]
     sig = minhash_signature(char_shingles(norm, cfg.char_shingle_k), cfg.minhash_num_perm)
     keys += [f"m:{k}" for k in lsh_band_keys(sig, cfg.minhash_bands)]
+    if ent_of is not None and cfg.kb_blocking:
+        eid = ent_of.get(norm)
+        if eid is not None:
+            keys.append(f"kb:{eid}")
     # dedup, stable order
     seen, out = set(), []
     for k in keys:
@@ -63,13 +75,14 @@ def partial_node_agg(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
-def node_block_keys(batch: pa.Table, cfg: LinkageConfig) -> pa.Table:
+def node_block_keys(batch: pa.Table, cfg: LinkageConfig,
+                    ent_of: dict[str, int] | None = None) -> pa.Table:
     """nodes(norm) -> exploded (block_key, norm, n_mentions) rows."""
     norms = batch.column("norm").to_pylist()
     counts = batch.column("n_mentions").to_pylist()
     out_k, out_n, out_c = [], [], []
     for norm, n in zip(norms, counts):
-        for k in block_keys_for(norm, cfg):
+        for k in block_keys_for(norm, cfg, ent_of):
             out_k.append(k)
             out_n.append(norm)
             out_c.append(n)
@@ -83,7 +96,15 @@ def node_block_keys(batch: pa.Table, cfg: LinkageConfig) -> pa.Table:
 
 
 def salt_block_keys(df: pd.DataFrame, hot_keys: dict[str, int], n_salts: int) -> pd.DataFrame:
-    """Deterministically salt members of hot blocks into sub-blocks."""
+    """Deterministically salt members of hot blocks into sub-blocks.
+
+    ``kb:`` keys are exempt: salting bounds MEMBER-SET explosion in
+    stopword-like lexical blocks (mention mass is the cheap proxy for
+    that), but a KB block's member count is bounded by the entity's
+    alias count regardless of mention mass — salting it would sever
+    dictionary-known alias pairs for zero pair-budget benefit.  The eval
+    oracle applies the identical exemption."""
+    hot_keys = {k: v for k, v in hot_keys.items() if not k.startswith("kb:")}
     if not hot_keys:
         return df
     mask = df["block_key"].isin(hot_keys)

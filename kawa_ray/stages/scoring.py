@@ -36,13 +36,20 @@ def fallback_vector(norm: str, dim: int = EMBED_DIM) -> np.ndarray:
 class PairScorer:
     """Actor-pool callable over candidate pair batches."""
 
-    def __init__(self, embed_ref=None, embed_obj=None, cfg: LinkageConfig | None = None):
+    def __init__(self, embed_ref=None, embed_obj=None, cfg: LinkageConfig | None = None,
+                 ent_of: dict[str, int] | None = None):
         if embed_obj is None:
             import ray
 
             embed_obj = ray.get(embed_ref)
         self.norm2row, self.matrix, _ents = embed_obj
         self.cfg = cfg or LinkageConfig()
+        # KB alias dictionary (norm -> entity id): pairs the dictionary
+        # maps to one entity are edges outright (reference semantics —
+        # the ontology lookup IS the link for known surfaces); kept
+        # separate from the embedding artifact because the context-E1
+        # artifact carries no entity ids.
+        self.ent_of = ent_of if (ent_of and self.cfg.kb_blocking) else None
         self._fallback_cache: dict[str, np.ndarray] = {}
 
     def _vec(self, norm: str) -> np.ndarray:
@@ -68,6 +75,13 @@ class PairScorer:
         if cfg.exact_match_is_edge:
             exact = np.fromiter((x == y for x, y in zip(a, b)), dtype=bool, count=len(a))
             score = np.where(exact, 1.0, score).astype(np.float32)
+        if self.ent_of is not None:
+            eo = self.ent_of
+            kb_same = np.fromiter(
+                (eo.get(x) is not None and eo.get(x) == eo.get(y) for x, y in zip(a, b)),
+                dtype=bool, count=len(a),
+            )
+            score = np.where(kb_same, 1.0, score).astype(np.float32)
         cols = {name: batch.column(name) for name in batch.column_names}
         cols.update(
             {

@@ -163,7 +163,9 @@ class TestContextLinkageF1:
                       w_jw=0.55, w_lev=0.35, w_cos=0.10, edge_threshold=0.70)
         res = link_pages(pages_dir, cfg)
         gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"))
-        labeled = gold_labeled_pairs(gold, cfg)
+        from kawa_ray.pipelines.linkage import kb_alias_lookup
+
+        labeled = gold_labeled_pairs(gold, cfg, kb_alias_lookup())
         m = pairwise_f1(labeled, res["norm2cluster"])
         assert m["recall"] >= 0.9, m
         assert len(res["norm2cluster"]) > 100

@@ -22,9 +22,13 @@ def linked(ray_session):
 
 
 def test_pairwise_f1_meets_north_rule(linked):
+    from kawa_ray.pipelines.linkage import kb_alias_lookup
+
     _, res, gold = linked
     cfg = LinkageConfig()
-    metrics = pairwise_f1(gold_labeled_pairs(gold, cfg), res["norm2cluster"])
+    metrics = pairwise_f1(
+        gold_labeled_pairs(gold, cfg, kb_alias_lookup()), res["norm2cluster"]
+    )
     assert metrics["f1"] >= 0.99, metrics
     assert metrics["precision"] >= 0.99, metrics
 
@@ -81,7 +85,8 @@ def test_pair_paths_agree(ray_session):
 
     from kawa_ray.config import LinkageConfig
     from kawa_ray.pipelines.linkage import (
-        build_nodes, candidate_pairs, default_artifacts, detect_mentions, read_pages,
+        build_nodes, candidate_pairs, default_artifacts, detect_mentions,
+        kb_alias_lookup, read_pages,
     )
     from kawa_ray.sources.pages import ensure_pages
 
@@ -91,8 +96,9 @@ def test_pair_paths_agree(ray_session):
     mentions = detect_mentions(read_pages(pages_dir), cfg, lexicon).materialize()
     nodes = build_nodes(mentions).materialize()
 
-    driver = candidate_pairs(nodes, replace(cfg, driver_pair_threshold=10**9))
-    dist = candidate_pairs(nodes, replace(cfg, driver_pair_threshold=0))
+    ent_of = kb_alias_lookup()
+    driver = candidate_pairs(nodes, replace(cfg, driver_pair_threshold=10**9), ent_of=ent_of)
+    dist = candidate_pairs(nodes, replace(cfg, driver_pair_threshold=0), ent_of=ent_of)
     d_pairs = {(r["a"], r["b"]) for r in driver.take_all()}
     x_pairs = {(r["a"], r["b"]) for r in dist.take_all()}
     assert d_pairs == x_pairs and len(d_pairs) > 0
@@ -178,13 +184,18 @@ def test_bcubed_reaches_blocking_ceiling(linked):
     the gold-same labeled pairs) — i.e. the linkage itself loses nothing
     on top of blocking."""
     from kawa_ray.eval.pairwise import bcubed_scores, gold_labeled_pairs
+    from kawa_ray.pipelines.linkage import kb_alias_lookup
     from kawa_ray.stages.clustering import union_find_components
 
     _, res, gold = linked
     cfg = LinkageConfig()
     m = bcubed_scores(gold, res["norm2cluster"])
     assert m["b3_precision"] >= 0.99, m
-    same = [(a, b) for a, b, _k, s in gold_labeled_pairs(gold, cfg) if s]
+    # the KB-alias channel (incl. its salting exemption) bridges
+    # cross-script aliases: B³ recall is 1.0 on the synthetic corpus
+    # (pre-KB-channel it bottomed out at ~0.68)
+    assert m["b3_recall"] >= 0.99, m
+    same = [(a, b) for a, b, _k, s in gold_labeled_pairs(gold, cfg, kb_alias_lookup()) if s]
     norms = sorted(set(gold.column("norm").to_pylist()))
     ceiling = bcubed_scores(gold, union_find_components(same, norms))
     assert m["b3_f1"] >= ceiling["b3_f1"] - 1e-9, (m, ceiling)
