@@ -347,6 +347,14 @@ class LexiconIndex:
         # target lexicons are held for the lifetime of the detection actor
         # (stages/mentions.py) so id() is a stable discriminator here.
         lcache = self.__dict__.setdefault("_lookup_cache", {})
+        # token-prep memo, one dict per language (stopword sets differ):
+        # raw token -> None (stopword skip) | (lo, hi) ngram bounds.  Folds
+        # lower/lstrip/stopword-test/translate/split/truncate/bounds into a
+        # single dict get for repeated tokens (Zipf: most are repeats).
+        tcaches = self.__dict__.setdefault("_tok_cache", {})
+        tcache = tcaches.get(lang)
+        if tcache is None:
+            tcache = tcaches[lang] = {}
         miss = self._MISS
         lctx = (lang, check_caps, id(target_lexicon))
         if cjk_detect(text):
@@ -359,15 +367,23 @@ class LexiconIndex:
             tok = sent[i]
             if tok is None:
                 continue
-            start_word = tok.lower().lstrip(STRIP_CHARS)
-            if start_word in sw:
+            bounds = tcache.get(tok, miss)
+            if bounds is miss:
+                start_word = tok.lower().lstrip(STRIP_CHARS)
+                if start_word in sw:
+                    bounds = None
+                else:
+                    start_word = start_word.translate(TRANNUM).split(conn)[0]
+                    start_word = start_word[:cutoff]
+                    bounds = bcache.get(start_word)
+                    if bounds is None:
+                        bounds = bcache[start_word] = self.ngram_bounds(start_word)
+                if len(tcache) >= self._LOOKUP_CACHE_MAX:
+                    tcache.clear()
+                tcache[tok] = bounds
+            if bounds is None:
                 pos += len(tok) + 1
                 continue
-            start_word = start_word.translate(TRANNUM).split(conn)[0]
-            start_word = start_word[:cutoff]
-            bounds = bcache.get(start_word)
-            if bounds is None:
-                bounds = bcache[start_word] = self.ngram_bounds(start_word)
             lo, hi = bounds
             matched = False
             if lo > 0:

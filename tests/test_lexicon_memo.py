@@ -79,6 +79,32 @@ class TestDetectMemo:
         assert lex.detect(text, lang="en") == en
         assert lex.detect(text, lang="de") == de
 
+    def test_token_memo_per_language(self):
+        # the token-prep memo (raw token -> stopword-skip | ngram bounds)
+        # is keyed per language: a token that is a stopword in one
+        # language but an entity start word in another must resolve
+        # differently even when both languages are warm in the memo
+        from kawa_ray.state.stopwords import stopwords_for
+
+        lex = LexiconIndex.build([["die_hard", "WORK_OF_ART", 0.0, None]])
+        assert "die" in stopwords_for("de") and "die" not in stopwords_for("en")
+        text = "watch Die Hard tonight"
+        for _ in range(2):  # second round is served from the memo
+            en = lex.detect(text, lang="en", check_caps=False)
+            de = lex.detect(text, lang="de", check_caps=False)
+            assert any(l == "WORK_OF_ART" for _, _, _, l in en), en
+            assert de == []  # "die" stopword-skipped, scan never starts
+        assert set(lex.__dict__["_tok_cache"]) == {"en", "de"}
+
+    def test_token_memo_bounded(self):
+        lex = LexiconIndex.build([["acme_corp", "ORG", 0.0, None]])
+        lex._LOOKUP_CACHE_MAX = 8
+        for i in range(100):
+            lex.detect(f"tok{i} acme corp tok{i + 1000}", lang="en", check_caps=False)
+        assert len(lex.__dict__["_tok_cache"]["en"]) <= 8
+        dets = lex.detect("visit acme corp today", lang="en", check_caps=False)
+        assert any(l == "ORG" for _, _, _, l in dets)
+
     def test_cache_bounded(self):
         lex = LexiconIndex.build([["acme_corp", "ORG", 0.0, None]])
         lex._LOOKUP_CACHE_MAX = 8  # shrink the bound for the test
