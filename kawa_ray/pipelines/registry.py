@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, relational, vectors, word2ner_fix
+from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, relational, substring_dedup, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -159,6 +159,8 @@ EXTRA_QUERIES = {
     # Fellegi–Sunter EM match weights (probabilistic record linkage over
     # nation-blocked customer pairs; the 2-iteration EM is unrolled in SQL)
     "fs_match_weights": fs_linkage.fs_match_weights,
+    # Lee-et-al-style exact-substring duplicate spans (token winnowing)
+    "doc_substring_dup_census": substring_dedup.doc_substring_dup_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -184,6 +186,7 @@ EXTRA_ORACLE_SQL = {
     "docs_sample_stats": docs.DOCS_SAMPLE_SQL,
     "kb_point_lookups": kb_maintenance.KB_POINT_LOOKUPS_SQL,
     "fs_match_weights": fs_linkage.FS_MATCH_WEIGHTS_SQL,
+    "doc_substring_dup_census": substring_dedup.SUBSTRING_DUP_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
