@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, relational, substring_dedup, vectors, word2ner_fix
+from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -161,6 +161,11 @@ EXTRA_QUERIES = {
     "fs_match_weights": fs_linkage.fs_match_weights,
     # Lee-et-al-style exact-substring duplicate spans (token winnowing)
     "doc_substring_dup_census": substring_dedup.doc_substring_dup_census,
+    # Gopher-style repetition filters / n-gram decontamination /
+    # Misra-Gries two-pass exact top-k (textqual.py, round 3)
+    "doc_repetition_stats": textqual.doc_repetition_stats,
+    "decontam_overlap": textqual.decontam_overlap,
+    "top_tokens_mg": textqual.top_tokens_mg,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -187,6 +192,9 @@ EXTRA_ORACLE_SQL = {
     "kb_point_lookups": kb_maintenance.KB_POINT_LOOKUPS_SQL,
     "fs_match_weights": fs_linkage.FS_MATCH_WEIGHTS_SQL,
     "doc_substring_dup_census": substring_dedup.SUBSTRING_DUP_SQL,
+    "doc_repetition_stats": textqual.DOC_REPETITION_SQL,
+    "decontam_overlap": textqual.DECONTAM_SQL,
+    "top_tokens_mg": textqual.TOP_TOKENS_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"

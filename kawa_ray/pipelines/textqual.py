@@ -1,0 +1,488 @@
+"""Web-scale text-quality operators beyond the round-2 suite — the
+repetition / decontamination / frequent-items patterns an LLM
+training-data pipeline runs over a raw crawl before training.
+
+All three are published techniques, re-expressed Ray-Data-first:
+
+* ``doc_repetition_stats`` — Gopher-style repetition filters (Rae et
+  al. 2021, "Scaling Language Models: ... Gopher", appendix A1.1):
+  most-frequent-n-gram fraction and duplicated-n-gram fraction per
+  document, aggregated per language.  Deviation from the paper
+  (documented): fractions are over token occurrences, not characters
+  (the character-coverage union is order-dependent and not
+  SQL-expressible; the token form keeps an exact integer oracle).
+* ``decontam_overlap`` — n-gram train/test decontamination (Brown et
+  al. 2020 used 13-grams; ``n`` is a parameter and the synthetic
+  corpus' 31-word vocabulary makes ``n=5`` the meaningful scale here):
+  flag any candidate document sharing an n-gram with the benchmark
+  set.  The benchmark gram set is small by construction (benchmarks
+  are thousands of documents, the corpus is billions), so the
+  scale-correct shape is: distinct-hash the benchmark grams once,
+  ``ray.put`` the set, and filter candidates in ``map_batches`` — a
+  broadcast semi-join, never a corpus-wide shuffle.
+* ``top_tokens_mg`` — per-language exact top-k frequent tokens via the
+  Misra–Gries summary (Misra & Gries 1982): per-batch bounded sketches
+  (capacity ``m``), a tiny candidate shuffle (≤ m rows per language
+  per batch instead of the full vocabulary), an exact recount of the
+  candidate set only, and the MG frequency guarantee
+  (missed tokens have count ≤ N/(m+1)) *checked at runtime* — if the
+  k-th count doesn't clear the bound the operator falls back to the
+  full-vocabulary groupby, so the result is exact either way and
+  carries a plain top-k SQL oracle.
+
+Every per-document kernel here is vectorised across the whole batch:
+tokenisation is one pandas ``str.split``, n-gram identity is an
+iterated injective ``pd.factorize`` pairing (no per-row Python loop,
+no hashing collisions — gram equality is exact token-tuple equality,
+mirroring the SQL oracle's string grams), and per-doc top/duplicate
+counts come from ``np.maximum.reduceat`` / ``np.add.reduceat`` over
+run-length-encoded (doc, gram) keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from kawa_ray.functions.minhash import md5_low64, word_ngrams
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# --------------------------------------------------------------------------
+
+# (metric, n, micro-threshold): token-adapted Gopher A1.1 thresholds —
+# top n-gram fraction ≤ {2: 0.20, 3: 0.18}, duplicated n-gram fraction
+# ≤ {5: 0.15, 10: 0.10}.  Micro units = floor(frac * 1e6), integer-exact
+# on both engines.
+_REP_METRICS = (("top", 2, 200_000), ("top", 3, 180_000),
+                ("dup", 5, 150_000), ("dup", 10, 100_000))
+_MICRO = 1_000_000
+
+
+def _gram_codes(codes: np.ndarray, max_n: int) -> dict[int, np.ndarray]:
+    """codes[i] = integer id of token i (batch-wide factorized).  Returns
+    ``{n: g}`` where ``g[i]`` is an integer id such that
+    ``g[i] == g[j]`` iff tokens ``i..i+n-1 == j..j+n-1`` — built by
+    iterated injective pairing ``pair(a, b) = a * V + b`` (``b < V``)
+    re-factorized each step so values stay small."""
+    out: dict[int, np.ndarray] = {}
+    vocab = int(codes.max()) + 1 if codes.size else 1
+    g = codes.astype(np.int64)
+    for n in range(2, max_n + 1):
+        tail = codes[n - 1:].astype(np.int64)
+        key = g[: tail.size] * vocab + tail
+        g = pd.factorize(key)[0].astype(np.int64)
+        out[n] = g
+    return out
+
+
+def _per_doc_gram_stats(g: np.ndarray, doc_of_tok: np.ndarray,
+                        pos_in_doc: np.ndarray, lens: np.ndarray,
+                        n: int, ndocs: int) -> tuple[np.ndarray, np.ndarray]:
+    """(top_count, dup_occurrences) per doc for n-grams with ids ``g``
+    (g[i] covers tokens i..i+n-1; ids are batch-global so the doc id is
+    part of the run key)."""
+    top = np.zeros(ndocs, dtype=np.int64)
+    dup = np.zeros(ndocs, dtype=np.int64)
+    L = g.size
+    if L == 0:
+        return top, dup
+    valid = pos_in_doc[:L] + n <= lens[doc_of_tok[:L]]
+    d, gv = doc_of_tok[:L][valid], g[valid]
+    if d.size == 0:
+        return top, dup
+    order = np.lexsort((gv, d))
+    ds_, gs_ = d[order], gv[order]
+    newrun = np.empty(ds_.size, dtype=bool)
+    newrun[0] = True
+    newrun[1:] = (ds_[1:] != ds_[:-1]) | (gs_[1:] != gs_[:-1])
+    run_starts = np.flatnonzero(newrun)
+    run_counts = np.diff(np.append(run_starts, ds_.size))
+    run_doc = ds_[run_starts]
+    newdoc = np.empty(run_doc.size, dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = run_doc[1:] != run_doc[:-1]
+    doc_run_starts = np.flatnonzero(newdoc)
+    present = run_doc[doc_run_starts]
+    top[present] = np.maximum.reduceat(run_counts, doc_run_starts)
+    dup[present] = np.add.reduceat(
+        np.where(run_counts > 1, run_counts, 0), doc_run_starts)
+    return top, dup
+
+
+def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray, np.ndarray]:
+    """Whitespace-tokenise a batch (``text.lower().split()``, the
+    oracle convention).  Returns (codes, doc_of_tok, pos_in_doc, lens)."""
+    toks = texts.str.lower().str.split()
+    lens = toks.str.len().fillna(0).to_numpy(np.int64)
+    flat = toks.explode()
+    flat = flat[flat.notna()]
+    codes = pd.factorize(flat.to_numpy(dtype=object))[0].astype(np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:] if lens.size > 1 else starts[:0])
+    doc_of_tok = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    pos_in_doc = np.arange(codes.size, dtype=np.int64) - np.repeat(starts, lens)
+    return codes, doc_of_tok, pos_in_doc, lens
+
+
+def repetition_micro_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document repetition metrics in integer micro units — the
+    reusable kernel (also the unit-test surface)."""
+    codes, doc_of_tok, pos_in_doc, lens = _tokenize_batch(df["text"])
+    ndocs = len(df)
+    max_n = max(n for _, n, _ in _REP_METRICS)
+    grams = _gram_codes(codes, max_n)
+    out = {"lang": df["lang"].to_numpy()}
+    pass_mask = np.ones(ndocs, dtype=bool)
+    safe_lens = np.maximum(lens, 1)
+    for kind, n, thr in _REP_METRICS:
+        top, dup = _per_doc_gram_stats(grams[n], doc_of_tok, pos_in_doc,
+                                       lens, n, ndocs)
+        if kind == "top":
+            micro = (top * n * _MICRO) // safe_lens
+        else:
+            tot = np.maximum(lens - (n - 1), 1)
+            micro = (dup * _MICRO) // tot
+        out[f"{kind}{n}_micro"] = micro
+        pass_mask &= micro <= thr
+    out["gopher_pass"] = pass_mask
+    return pd.DataFrame(out)
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Per-language census of the Gopher-style repetition metrics:
+    doc counts, docs passing all four thresholds, and the per-language
+    mean of each metric in integer micro units (floor of the mean, so
+    the oracle comparison is integer-exact)."""
+    ds = _read_docs(sf_dir, ["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = repetition_micro_frame(df)
+        m["n_docs"] = 1
+        m["n_pass"] = m.pop("gopher_pass").astype(np.int64)
+        return m.groupby("lang", as_index=False).sum()
+
+    cols = [f"{kind}{n}_micro" for kind, n, _ in _REP_METRICS]
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_pass", alias_name="n_pass"),
+                   *[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    for c in cols:
+        out["avg_" + c] = (out[c] // out["n_docs"]).astype("int64")
+        out.drop(columns=c, inplace=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_pass"] = out["n_pass"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _rep_stats_sql() -> str:
+    ctes = ["""toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+)"""]
+    joins, exprs, passes = [], [], []
+    for kind, n, thr in _REP_METRICS:
+        concat = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        col = f"{kind}{n}_micro"
+        ctes.append(f"""occ{n} AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN LEN(t) < {n} THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, LEN(t) - {n - 2}), i -> {concat}) END) AS g
+  FROM toks
+), st{n} AS (
+  SELECT doc_id, MAX(c) AS topc,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupocc
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM occ{n} GROUP BY 1, 2) q
+  GROUP BY 1
+)""")
+        joins.append(f"LEFT JOIN st{n} USING (doc_id)")
+        if kind == "top":
+            exprs.append(
+                f"(COALESCE(st{n}.topc, 0) * {n} * 1000000)"
+                f" // GREATEST(LEN(t), 1) AS {col}")
+        else:
+            exprs.append(
+                f"(COALESCE(st{n}.dupocc, 0) * 1000000)"
+                f" // GREATEST(LEN(t) - {n - 1}, 1) AS {col}")
+        passes.append(f"{col} <= {thr}")
+    per_doc = (f"per_doc AS (\n  SELECT toks.doc_id, lang,\n         "
+               + ",\n         ".join(exprs)
+               + "\n  FROM toks\n  " + "\n  ".join(joins) + "\n)")
+    avgs = ",\n       ".join(
+        f"CAST(SUM({c}) AS BIGINT) // COUNT(*) AS avg_{c}"
+        for c in (f"{kind}{n}_micro" for kind, n, _ in _REP_METRICS))
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n" + per_doc + f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {' AND '.join(passes)} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       {avgs}
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""")
+
+
+DOC_REPETITION_SQL = _rep_stats_sql()
+
+
+# --------------------------------------------------------------------------
+# n-gram decontamination
+# --------------------------------------------------------------------------
+
+_BENCHMARK_SOURCES = ("src0", "src7")
+
+
+def decontam_overlap(sf_dir: str, n: int = 5,
+                     benchmark_sources: tuple[str, ...] = _BENCHMARK_SOURCES):
+    """Flag candidate documents sharing any word n-gram with the
+    benchmark slice (``source IN benchmark_sources``).  Gram identity =
+    ``md5_low64`` of the space-joined gram (== DuckDB
+    ``md5_number_lower``), gram extraction = the dedup suite's
+    ``word_ngrams`` set semantics.  Benchmark grams are collected once
+    (bounded by the benchmark's size — the small side by construction)
+    and broadcast via ``ray.put``; candidates stream through one
+    ``map_batches`` filter.  Per-language census output."""
+    docs = _read_docs(sf_dir, ["text", "lang", "source"])
+    bench_set: set[int] = set()
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        hs: set[int] = set()
+        for text in df[df["source"].isin(benchmark_sources)]["text"]:
+            hs.update(md5_low64(g) for g in word_ngrams(text.lower().split(), n))
+        return pd.DataFrame({"h": np.fromiter(hs, dtype=np.uint64, count=len(hs))})
+
+    for b in docs.map_batches(bench_grams, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        bench_set.update(int(x) for x in b["h"])
+    ref = ray.put(bench_set)
+
+    class Flag:
+        def __init__(self):
+            self.grams = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = ~df["source"].isin(benchmark_sources)
+            cand = df[keep]
+            hit = np.fromiter(
+                (any(md5_low64(g) in self.grams
+                     for g in word_ngrams(t.lower().split(), n))
+                 for t in cand["text"]),
+                dtype=np.int64, count=len(cand))
+            out = pd.DataFrame({"lang": cand["lang"].to_numpy(),
+                                "n_docs": 1, "n_contaminated": hit})
+            return out.groupby("lang", as_index=False).sum()
+
+    out = (
+        docs.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_contaminated", alias_name="n_contaminated"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_contaminated"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _decontam_sql(n: int = 5,
+                  benchmark_sources: tuple[str, ...] = _BENCHMARK_SOURCES) -> str:
+    concat = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    src_list = ", ".join(f"'{s}'" for s in benchmark_sources)
+    # same short-doc collapse as word_ngrams: <= n tokens -> one gram
+    gram_list = f"""CASE WHEN LEN(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN LEN(t) <= {n} THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, LEN(t) - {n - 2}), i -> {concat}) END"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, source, md5_number_lower(g) AS h
+  FROM (SELECT doc_id, lang, source, UNNEST({gram_list}) AS g FROM toks) q
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE source IN ({src_list})
+), flagged AS (
+  SELECT g.doc_id, g.lang,
+         MAX(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM grams g LEFT JOIN bench b USING (h)
+  WHERE g.source NOT IN ({src_list})
+  GROUP BY 1, 2
+), cands AS (
+  SELECT doc_id, lang, 0 AS hit FROM toks
+  WHERE source NOT IN ({src_list}) AND LEN(t) = 0
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(hit) AS BIGINT) AS n_contaminated
+FROM (SELECT * FROM flagged UNION ALL SELECT * FROM cands) q
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+DECONTAM_SQL = _decontam_sql()
+
+
+# --------------------------------------------------------------------------
+# Misra–Gries two-pass exact top-k tokens
+# --------------------------------------------------------------------------
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress an exact/summary count vector to ≤ capacity entries, the
+    Misra–Gries way: subtract the (capacity+1)-th largest count from
+    all, keep positives.  Retained count underestimates the true count
+    by at most the total decremented mass."""
+    if counts.size <= capacity:
+        return tokens, counts
+    kth = np.partition(counts, counts.size - capacity - 1)[counts.size - capacity - 1]
+    kept = counts - kth
+    mask = kept > 0
+    return tokens[mask], kept[mask]
+
+
+def top_tokens_mg(sf_dir: str, k: int = 5, capacity: int = 64):
+    """Exact per-language top-k tokens with a Misra–Gries candidate
+    pass.  Phase 1 sends ≤ capacity (lang, token, partial-count) rows
+    per language per batch (never the full vocabulary) plus exact
+    per-language occurrence totals; phase 2 merges the summaries and
+    re-compresses; phase 3 recounts ONLY the candidate tokens exactly.
+    The MG guarantee (a token absent from the summary has true count
+    ≤ N/(capacity+1)) is checked against the k-th recounted value — on
+    failure the operator falls back to the full-vocabulary groupby, so
+    the output is exact either way (ties broken count desc, token asc)."""
+    ds = _read_docs(sf_dir, ["text", "lang"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        flat = toks.explode()
+        flat = flat[flat.notna()]
+        lang_of = df["lang"].reindex(flat.index).to_numpy()
+        frame = pd.DataFrame({"lang": lang_of, "token": flat.to_numpy()})
+        counts = frame.groupby(["lang", "token"], as_index=False).size()
+        rows = []
+        for lang, grp in counts.groupby("lang"):
+            t, c = _mg_compress(grp["token"].to_numpy(),
+                                grp["size"].to_numpy(np.int64), capacity)
+            total = int(grp["size"].sum())
+            rows.append(pd.DataFrame({"lang": lang, "token": t, "cnt": c}))
+            rows.append(pd.DataFrame({"lang": [lang], "token": [""],
+                                      "cnt": [total]}))
+        return (pd.concat(rows, ignore_index=True) if rows
+                else pd.DataFrame({"lang": [], "token": [], "cnt": []}))
+
+    merged = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    totals = merged[merged["token"] == ""].set_index("lang")["cnt"]
+    summary = merged[merged["token"] != ""]
+    cand: dict[str, np.ndarray] = {}
+    for lang, grp in summary.groupby("lang"):
+        t, _ = _mg_compress(grp["token"].to_numpy(),
+                            grp["cnt"].to_numpy(np.int64), capacity)
+        cand[lang] = t
+    # union across languages: counting a token for a language it isn't a
+    # candidate in only ADDS exactly-counted rows, never corrupts one
+    cand_union = sorted({t for ts in cand.values() for t in ts})
+    cand_ref = ray.put(frozenset(cand_union))
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.lower().str.split()
+            flat = toks.explode()
+            flat = flat[flat.notna()]
+            frame = pd.DataFrame({
+                "lang": df["lang"].reindex(flat.index).to_numpy(),
+                "token": flat.to_numpy()})
+            frame = frame[frame["token"].isin(self.cand)]
+            out = frame.groupby(["lang", "token"], as_index=False).size()
+            return out.rename(columns={"size": "cnt"})
+
+    exact = (
+        ds.map_batches(Recount, batch_format="pandas", concurrency=(1, 4))
+        .groupby(["lang", "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    exact = exact.sort_values(["lang", "cnt", "token"],
+                              ascending=[True, False, True])
+    topk = exact.groupby("lang").head(k).reset_index(drop=True)
+    # MG guarantee check: every token outside the candidate set has true
+    # count <= N/(capacity+1); the k-th kept count must clear that bound
+    # or top-k might live outside the candidates.
+    ok = True
+    for lang, grp in topk.groupby("lang"):
+        n_lang = int(totals.get(lang, 0))
+        # absent tokens have true count <= N/(capacity+1); the k-th kept
+        # count must strictly clear it (integer-exact comparison)
+        if (len(grp) < k
+                or int(grp["cnt"].iloc[-1]) * (capacity + 1) <= n_lang):
+            ok = False
+    if not ok:  # exact fallback: full-vocabulary shuffle
+        def full_counts(df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.lower().str.split()
+            flat = toks.explode()
+            flat = flat[flat.notna()]
+            frame = pd.DataFrame({
+                "lang": df["lang"].reindex(flat.index).to_numpy(),
+                "token": flat.to_numpy()})
+            return frame.groupby(["lang", "token"], as_index=False).size().rename(
+                columns={"size": "cnt"})
+
+        exact = (
+            ds.map_batches(full_counts, batch_format="pandas")
+            .groupby(["lang", "token"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        ).sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
+        topk = exact.groupby("lang").head(k).reset_index(drop=True)
+    topk["cnt"] = topk["cnt"].astype("int64")
+    return topk[["lang", "token", "cnt"]].reset_index(drop=True)
+
+
+TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), u AS (
+  SELECT lang, UNNEST(t) AS token FROM toks
+), c AS (
+  SELECT lang, token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC) AS rn
+  FROM u GROUP BY 1, 2
+)
+SELECT lang, token, cnt FROM c
+WHERE rn <= 5
+ORDER BY lang, cnt DESC, token
+"""
