@@ -1,0 +1,141 @@
+"""Training-mixture operators — deterministic stratified sampling and
+source re-weighting, the corpus-composition steps between cleaning and
+training (the Pile / Dolma "mixing" stage).
+
+* ``stratified_sample_quota`` — take exactly ``quota`` documents per
+  language in a deterministic pseudo-random order (md5 of the doc id,
+  == DuckDB ``md5_number_lower(CAST(doc_id AS VARCHAR))``).  The Ray
+  shape is the partial-top-k pattern: each batch keeps only its local
+  ``quota`` smallest hashes per language, so the merge step sees
+  ≤ quota × batches × languages rows — never the corpus.
+* ``source_mixture_plan`` — per-source token totals and the sampling
+  rate that equalises token share across sources, in integer micro
+  units (``rate_micro = min(1e6, target_share*1e6 // source_tokens)``)
+  so the oracle is integer-exact.  One partial-aggregate pass; the
+  plan itself is a tiny driver-side table, which is the realistic
+  shape (mixture plans are config-sized).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from kawa_ray.functions.minhash import md5_low64
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def stratified_sample_quota(sf_dir: str, quota: int = 5):
+    """Exactly ``quota`` docs per language, ordered by the md5 hash of
+    the doc id (deterministic shuffle order, tie-broken by doc_id).
+    Output: (lang, rk, doc_id) rows, rk = 1..quota."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def local_topq(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((md5_low64(str(int(d))) for d in df["doc_id"]),
+                        dtype=np.uint64, count=len(df))
+        out = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                            "doc_id": df["doc_id"].to_numpy(np.int64),
+                            "h": h})
+        out = out.sort_values(["lang", "h", "doc_id"])
+        return out.groupby("lang", as_index=False).head(quota)
+
+    parts = ds.map_batches(local_topq, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["lang", "h", "doc_id"])
+    sel = parts.groupby("lang", as_index=False).head(quota).copy()
+    sel["rk"] = sel.groupby("lang").cumcount() + 1
+    sel["rk"] = sel["rk"].astype("int64")
+    sel["doc_id"] = sel["doc_id"].astype("int64")
+    return sel[["lang", "rk", "doc_id"]].sort_values(
+        ["lang", "rk"]).reset_index(drop=True)
+
+
+def _quota_sql(quota: int = 5) -> str:
+    return f"""
+SELECT lang,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang
+         ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS rk,
+       doc_id
+FROM documents
+QUALIFY rk <= {quota}
+ORDER BY lang, rk
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _quota_sql()
+
+
+def source_mixture_plan(sf_dir: str):
+    """Per-source token totals + the rate (micro units) that would
+    equalise token share across sources: rate = min(1, target/actual)
+    where target = total_tokens / n_sources.  Upsampling is left at
+    rate 1e6 (sources below target are not repeated — the usual
+    down-sample-only plan)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), r"\s+"))
+        empty = pc.equal(pc.utf8_trim_whitespace(t.column("text")), "")
+        toks = pc.if_else(empty, pa.scalar(0, pa.int32()), toks)
+        tt = pa.table({"source": t.column("source"),
+                       "n_tokens": pc.cast(toks, pa.int64()),
+                       "n_docs": pa.array([1] * t.num_rows, pa.int64())})
+        return tt.group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_docs", "sum")]
+        ).rename_columns(["source", "n_tokens", "n_docs"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    total = int(out["n_tokens"].sum())
+    n_sources = len(out)
+    # integer micro-rate: floor((total/n_sources) * 1e6 / source_tokens)
+    target_micro = (total * 1_000_000) // n_sources
+    out["rate_micro"] = np.minimum(
+        1_000_000,
+        target_micro // np.maximum(out["n_tokens"].to_numpy(np.int64), 1),
+    ).astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["source", "n_docs", "n_tokens", "rate_micro"]].sort_values(
+        "source").reset_index(drop=True)
+
+
+SOURCE_MIXTURE_SQL = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0
+                       ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r'), '\\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         COUNT(*) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       LEAST(1000000,
+             ((total * 1000000) // n_sources) // GREATEST(n_tokens, 1))
+         AS rate_micro
+FROM per_source, tot
+ORDER BY source
+"""

@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import bm25, builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, mixtures, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -166,6 +166,11 @@ EXTRA_QUERIES = {
     "doc_repetition_stats": textqual.doc_repetition_stats,
     "decontam_overlap": textqual.decontam_overlap,
     "top_tokens_mg": textqual.top_tokens_mg,
+    # training-mixture composition (stratified quota sample, source plan)
+    "stratified_sample_quota": mixtures.stratified_sample_quota,
+    "source_mixture_plan": mixtures.source_mixture_plan,
+    # sparse lexical retrieval (BM25 two-pass streaming top-k)
+    "bm25_topk": bm25.bm25_topk,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -195,6 +200,9 @@ EXTRA_ORACLE_SQL = {
     "doc_repetition_stats": textqual.DOC_REPETITION_SQL,
     "decontam_overlap": textqual.DECONTAM_SQL,
     "top_tokens_mg": textqual.TOP_TOKENS_SQL,
+    "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
+    "source_mixture_plan": mixtures.SOURCE_MIXTURE_SQL,
+    "bm25_topk": bm25.BM25_TOPK_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
