@@ -1,0 +1,301 @@
+"""LM-perplexity quality scoring — the CCNet shape (Wenzek et al.
+2020: score crawl text with a language model trained on a clean
+reference corpus; high perplexity ⇒ low quality).  CCNet uses KenLM
+5-gram models; here the model is a bigram LM with add-one smoothing
+trained on the reference slice (``source IN _REFERENCE_SOURCES``), so
+the whole thing is deterministic and exactly SQL-oracle-able — the
+plumbing (train pass → model artifact → broadcast → vectorised scoring
+pass) is the real KenLM shape, the model is the sandbox stand-in.
+
+Semantics (mirrored token-for-token in the oracle):
+
+* vocabulary V = distinct tokens of the reference slice; scoring-time
+  tokens outside V map to ``<unk>``;
+* P(cur | prev) = (c(prev,cur) + 1) / (c(prev,·) + |V| + 1);
+* per-position cost = floor(−ln P × 1e6) — discretised BEFORE summing
+  so the per-doc sum is an order-free integer sum (a raw double SUM
+  would be addition-order-dependent and unreproducible across
+  engines);
+* per-doc mean nll = sum // n_positions; docs with < 2 tokens have no
+  bigram positions and are not scored;
+* census per language: docs scored, docs flagged
+  (mean nll > ``_FLAG_MICRO``), floor-mean of the per-doc means.
+
+Scale notes: the trained count table is the model artifact — bounded
+by the reference corpus' bigram vocabulary, built with one
+hash-partitioned groupby over the (small) reference slice, then
+``ray.put`` once and indexed as a dense matrix per batch (at real
+scale: a KenLM binary loaded per actor in ``__init__``).  The scoring
+pass is one streaming ``map_batches`` with numpy gather + bincount —
+no per-row Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_REFERENCE_SOURCES = ("src0", "src7")
+_FLAG_MICRO = 3_500_000  # mean nll > 3.5 nats ~ perplexity > 33
+_MICRO = 1_000_000.0
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _split(texts: pd.Series):
+    toks = texts.str.lower().str.split()
+    lens = toks.str.len().fillna(0).to_numpy(np.int64)
+    flat = toks.explode()
+    flat = flat[flat.notna()]
+    return flat, lens
+
+
+def lm_perplexity_scores(sf_dir: str,
+                         reference_sources: tuple[str, ...] = _REFERENCE_SOURCES):
+    """Per-language census of bigram-LM mean-nll scores (integer micro
+    units): (lang, n_scored, n_flagged, avg_nll_micro)."""
+    docs = _read_docs(sf_dir, ["text", "lang", "source"])
+
+    # ---- train pass over the reference slice: vocab + bigram counts
+    def train_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["source"].isin(reference_sources)].reset_index(drop=True)
+        flat, lens = _split(df["text"])
+        toks = flat.to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(lens.size), lens)
+        same = doc_idx[:-1] == doc_idx[1:] if toks.size > 1 else np.zeros(0, bool)
+        prev, cur = toks[:-1][same], toks[1:][same]
+        bg = pd.DataFrame({"prev": prev, "cur": cur})
+        bg = bg.groupby(["prev", "cur"], as_index=False).size().rename(
+            columns={"size": "c"})
+        vocab = pd.DataFrame({"prev": pd.unique(toks), "cur": "", "c": 0})
+        return pd.concat([bg, vocab], ignore_index=True)
+
+    model = (
+        docs.map_batches(train_partial, batch_format="pandas")
+        .groupby(["prev", "cur"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vocab = sorted(model.loc[model["cur"] == "", "prev"])
+    bigrams = model[model["cur"] != ""]
+    w2i = {w: i for i, w in enumerate(vocab)}
+    unk = len(vocab)                     # <unk> id
+    vs = len(vocab)
+    mat = np.zeros((vs + 1, vs + 1), dtype=np.int64)
+    pi = bigrams["prev"].map(w2i).to_numpy(np.int64)
+    ci = bigrams["cur"].map(w2i).to_numpy(np.int64)
+    mat[pi, ci] = bigrams["c"].to_numpy(np.int64)
+    cprev = mat.sum(axis=1)
+    # Pre-discretised cost table, built with math.log (glibc, the same
+    # libm DuckDB's LN uses — numpy's SIMD log can differ by 1 ulp).
+    # Same size class as the count matrix (it IS the model artifact);
+    # the scoring hot path is then a pure integer gather.
+    import math
+
+    tab = np.empty((vs + 1, vs + 1), dtype=np.int64)
+    for p in range(vs + 1):
+        dp = cprev[p] + vs + 1.0
+        tab[p] = [math.floor(-math.log((c + 1.0) / dp) * 1_000_000.0)
+                  for c in mat[p]]
+    model_ref = ray.put((w2i, unk, tab))
+
+    # ---- scoring pass over every document
+    class Score:
+        def __init__(self):
+            self.w2i, self.unk, self.tab = ray.get(model_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            flat, lens = _split(df["text"])
+            codes = flat.map(self.w2i).fillna(self.unk).to_numpy(np.int64)
+            doc_idx = np.repeat(np.arange(lens.size), lens)
+            same = (doc_idx[:-1] == doc_idx[1:]
+                    if codes.size > 1 else np.zeros(0, bool))
+            prev, cur = codes[:-1][same], codes[1:][same]
+            d = doc_idx[:-1][same]
+            micro = self.tab[prev, cur]
+            ndocs = len(df)
+            s = np.bincount(d, weights=micro, minlength=ndocs).astype(np.int64)
+            npos = np.bincount(d, minlength=ndocs).astype(np.int64)
+            scored = npos > 0
+            mean = s[scored] // npos[scored]
+            out = pd.DataFrame({
+                "lang": df["lang"].to_numpy()[scored],
+                "n_scored": 1,
+                "n_flagged": (mean > _FLAG_MICRO).astype(np.int64),
+                "nll_sum": mean,
+            })
+            return out.groupby("lang", as_index=False).sum()
+
+    out = (
+        docs.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+        .groupby("lang")
+        .aggregate(Sum("n_scored", alias_name="n_scored"),
+                   Sum("n_flagged", alias_name="n_flagged"),
+                   Sum("nll_sum", alias_name="nll_sum"))
+        .to_pandas()
+    )
+    out["avg_nll_micro"] = (out["nll_sum"] // out["n_scored"]).astype("int64")
+    out.drop(columns="nll_sum", inplace=True)
+    for c in ("n_scored", "n_flagged"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _lm_sql(reference_sources: tuple[str, ...] = _REFERENCE_SOURCES) -> str:
+    src_list = ", ".join(f"'{s}'" for s in reference_sources)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), u AS (
+  SELECT doc_id, lang, source, UNNEST(t) AS w FROM toks
+), vt AS (
+  SELECT DISTINCT w FROM u WHERE source IN ({src_list})
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM vt
+), bg AS (
+  SELECT doc_id, lang, source,
+         UNNEST(t[1:LEN(t) - 1]) AS prev,
+         UNNEST(t[2:LEN(t)]) AS cur
+  FROM toks WHERE LEN(t) >= 2
+), cb AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg WHERE source IN ({src_list}) GROUP BY 1, 2
+), cp AS (
+  SELECT prev, CAST(SUM(c) AS BIGINT) AS cprev FROM cb GROUP BY 1
+), mapped AS (
+  SELECT b.doc_id, b.lang,
+         CASE WHEN pv.w IS NULL THEN '<unk>' ELSE b.prev END AS mprev,
+         CASE WHEN cv.w IS NULL THEN '<unk>' ELSE b.cur END AS mcur
+  FROM bg b
+  LEFT JOIN vt pv ON pv.w = b.prev
+  LEFT JOIN vt cv ON cv.w = b.cur
+), scored AS (
+  SELECT m.doc_id, m.lang,
+         CAST(FLOOR(-LN((COALESCE(cb.c, 0) + 1.0)
+                        / (COALESCE(cp.cprev, 0) + v.vs + 1.0))
+                    * 1000000.0) AS BIGINT) AS micro
+  FROM mapped m
+  LEFT JOIN cb ON cb.prev = m.mprev AND cb.cur = m.mcur
+  LEFT JOIN cp ON cp.prev = m.mprev
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(micro) AS BIGINT) // COUNT(*) AS mean_nll
+  FROM scored GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_scored,
+       CAST(SUM(CASE WHEN mean_nll > {_FLAG_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(mean_nll) AS BIGINT) // COUNT(*) AS avg_nll_micro
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+LM_PERPLEXITY_SQL = _lm_sql()
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990) — top bigram associations
+# --------------------------------------------------------------------------
+
+def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
+    """Global top-k word bigrams by pointwise mutual information:
+    PMI(x,y) = ln( (c_xy * N_uni * N_uni) / (N_big * c_x * c_y) )
+    over corpus-wide bigram/unigram counts, bigrams below ``min_count``
+    dropped.  One bounded count shuffle (the bigram vocabulary), PMI
+    arithmetic on the driver as a single int64-ratio ln per bigram
+    (bit-exact vs the oracle).  Ties broken (pmi desc, prev, cur)."""
+    docs = _read_docs(sf_dir, ["text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        flat, lens = _split(df["text"])
+        toks = flat.to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(lens.size), lens)
+        same = doc_idx[:-1] == doc_idx[1:] if toks.size > 1 else np.zeros(0, bool)
+        bg = pd.DataFrame({"prev": toks[:-1][same], "cur": toks[1:][same]})
+        bg = bg.groupby(["prev", "cur"], as_index=False).size().rename(
+            columns={"size": "c"})
+        uni = pd.DataFrame({"prev": toks, "cur": ""})
+        uni = uni.groupby(["prev", "cur"], as_index=False).size().rename(
+            columns={"size": "c"})
+        return pd.concat([bg, uni], ignore_index=True)
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby(["prev", "cur"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    uni = counts[counts["cur"] == ""].set_index("prev")["c"]
+    bg = counts[counts["cur"] != ""].copy()
+    n_uni = int(uni.sum())
+    n_big = int(bg["c"].sum())
+    bg = bg[bg["c"] >= min_count].copy()
+    cx = bg["prev"].map(uni).to_numpy(np.int64)
+    cy = bg["cur"].map(uni).to_numpy(np.int64)
+    cxy = bg["c"].to_numpy(np.int64)
+    # one int64 ratio then one ln per surviving bigram, computed with
+    # math.log (glibc == DuckDB LN; numpy's SIMD log drifts by 1 ulp)
+    import math
+
+    ratio = ((cxy * n_uni * n_uni).astype(np.float64)
+             / (n_big * cx * cy).astype(np.float64))
+    bg["pmi"] = [math.log(r) for r in ratio]
+    bg = bg.sort_values(["pmi", "prev", "cur"],
+                        ascending=[False, True, True]).head(k)
+    bg["c"] = bg["c"].astype("int64")
+    return bg[["prev", "cur", "c", "pmi"]].reset_index(drop=True)
+
+
+def _pmi_sql(min_count: int = 5, k: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), u AS (
+  SELECT UNNEST(t) AS w FROM toks
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1
+), nu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
+), bgr AS (
+  SELECT UNNEST(t[1:LEN(t) - 1]) AS prev, UNNEST(t[2:LEN(t)]) AS cur
+  FROM toks WHERE LEN(t) >= 2
+), bg AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c FROM bgr GROUP BY 1, 2
+), nb AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_big FROM bg
+)
+SELECT bg.prev, bg.cur, bg.c,
+       LN(CAST(bg.c * nu.n_uni * nu.n_uni AS DOUBLE)
+          / CAST(nb.n_big * ux.c * uy.c AS DOUBLE)) AS pmi
+FROM bg
+JOIN uni ux ON ux.w = bg.prev
+JOIN uni uy ON uy.w = bg.cur
+CROSS JOIN nu CROSS JOIN nb
+WHERE bg.c >= {min_count}
+ORDER BY pmi DESC, bg.prev ASC, bg.cur ASC
+LIMIT {k}
+"""
+
+
+PMI_COLLOCATIONS_SQL = _pmi_sql()

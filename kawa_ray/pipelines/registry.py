@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import bm25, builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, media, mixtures, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import bm25, builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -171,6 +171,9 @@ EXTRA_QUERIES = {
     "source_mixture_plan": mixtures.source_mixture_plan,
     # sparse lexical retrieval (BM25 two-pass streaming top-k)
     "bm25_topk": bm25.bm25_topk,
+    # CCNet-shape LM quality scoring + PMI collocations
+    "lm_perplexity_scores": lm_quality.lm_perplexity_scores,
+    "pmi_collocations": lm_quality.pmi_collocations,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -203,6 +206,8 @@ EXTRA_ORACLE_SQL = {
     "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
     "source_mixture_plan": mixtures.SOURCE_MIXTURE_SQL,
     "bm25_topk": bm25.BM25_TOPK_SQL,
+    "lm_perplexity_scores": lm_quality.LM_PERPLEXITY_SQL,
+    "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
