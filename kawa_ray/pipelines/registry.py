@@ -174,6 +174,10 @@ EXTRA_QUERIES = {
     # CCNet-shape LM quality scoring + PMI collocations
     "lm_perplexity_scores": lm_quality.lm_perplexity_scores,
     "pmi_collocations": lm_quality.pmi_collocations,
+    # relational family completion: anti-join / rollup / pivot
+    "customers_without_big_orders": relational.customers_without_big_orders,
+    "lineitem_rollup": relational.lineitem_rollup,
+    "events_pivot": relational.events_pivot,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -208,6 +212,9 @@ EXTRA_ORACLE_SQL = {
     "bm25_topk": bm25.BM25_TOPK_SQL,
     "lm_perplexity_scores": lm_quality.LM_PERPLEXITY_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
+    "customers_without_big_orders": relational.CUSTOMERS_ANTI_JOIN_SQL,
+    "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
+    "events_pivot": relational.EVENTS_PIVOT_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"

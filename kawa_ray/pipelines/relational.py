@@ -903,3 +903,170 @@ SELECT event_type, COUNT(*) AS total_matches,
        COUNT(DISTINCT event_id) AS n_events
 FROM j GROUP BY event_type ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# round 3: anti-join / rollup / pivot — completing the relational family
+# --------------------------------------------------------------------------
+
+def customers_without_big_orders(sf_dir: str, price: float = 300000.0,
+                                 partitions: int = 64):
+    """Hash-partitioned ANTI-join: customers with NO order above
+    ``price``, census per market segment.  Same scale shape as the q3
+    semi-join — both sides union into one keyed stream, each hash
+    partition resolves its keys with a vectorised ``isin``, nothing is
+    held on the driver."""
+    import numpy as np
+
+    P = partitions
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column("c_custkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "seg": t.column("c_mktsegment"),
+            "bal": pc.cast(t.column("c_acctbal"), pa.float64()),
+            "is_cust": pa.array(np.ones(t.num_rows, dtype="int8")),
+            "part": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), price))
+        key = pc.cast(t.column("o_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "key": key,
+            "seg": pa.nulls(n, pa.string()),
+            "bal": pa.nulls(n, pa.float64()),
+            "is_cust": pa.array(np.zeros(n, dtype="int8")),
+            "part": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+        })
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["is_cust"] == 0, "key"].to_numpy(dtype="int64")
+        c = g[g["is_cust"] == 1]
+        keep = c[~np.isin(c["key"].to_numpy(dtype="int64"), have)]
+        if keep.empty:
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                                 "n_customers": pd.Series([], dtype="int64"),
+                                 "acctbal": pd.Series([], dtype="float64")})
+        out = keep.groupby("seg", sort=False).agg(
+            n_customers=("key", "size"), acctbal=("bal", "sum")).reset_index()
+        return out.rename(columns={"seg": "c_mktsegment"})
+
+    out = (
+        cust.map_batches(cust_rows, batch_format="pyarrow")
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("acctbal", alias_name="acctbal"))
+        .to_pandas()
+    )
+    out["acctbal"] = out["acctbal"].round(2)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+CUSTOMERS_ANTI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def lineitem_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): the hierarchy-subtotal
+    aggregate.  One partial-aggregated groupby produces the base cells;
+    the subtotal and grand-total rows are derived from the (tiny) base
+    table on the driver — rollups never need a second corpus pass.
+    NULL group values are encoded as 'ALL' in lockstep with the
+    oracle's COALESCE."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            n=("l_quantity", "size"), sum_qty=("l_quantity", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    sub = base.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sum_qty=("sum_qty", "sum"))
+    sub["l_linestatus"] = "ALL"
+    tot = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "n": [base["n"].sum()], "sum_qty": [base["sum_qty"].sum()]})
+    out = pd.concat([base, sub, tot], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n", "sum_qty"]].sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """PIVOT: per-user wide counts by event type (one column per type).
+    Per-batch crosstab partials sum under one small groupby — the
+    long→wide reshape never materialises the long table."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"]).size().unstack(fill_value=0)
+        for t in _EVENT_TYPES:
+            if t not in g.columns:
+                g[t] = 0
+        g = g[list(_EVENT_TYPES)].reset_index()
+        g.columns = ["user_id"] + [f"n_{t}" for t in _EVENT_TYPES]
+        return g
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    for t in _EVENT_TYPES:
+        out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
