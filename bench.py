@@ -67,7 +67,16 @@ def run_bench() -> dict:
     queries: dict[str, float] = {"linkage_e2e": round(headline, 3)}
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
-        from kawa_ray.pipelines import builder, docs, media, relational, vectors
+        from kawa_ray.pipelines import (
+            bm25,
+            builder,
+            docs,
+            lm_quality,
+            media,
+            relational,
+            textqual,
+            vectors,
+        )
         from kawa_ray.pipelines.yago_validate import yago_validate
 
         for name, fn in (
@@ -92,6 +101,13 @@ def run_bench() -> dict:
             ("region_revenue", relational.region_revenue),
             ("event_value_quantiles", relational.event_value_quantiles),
             ("approx_distinct_users", relational.approx_distinct_users),
+            # round-3 additions: corpus-quality, retrieval, mixture ops
+            ("doc_repetition_stats", textqual.doc_repetition_stats),
+            ("decontam_overlap", textqual.decontam_overlap),
+            ("top_tokens_mg", textqual.top_tokens_mg),
+            ("bm25_topk", bm25.bm25_topk),
+            ("lm_perplexity_scores", lm_quality.lm_perplexity_scores),
+            ("customers_without_big_orders", relational.customers_without_big_orders),
         ):
             t = time.time()
             fn(sf_dir)

@@ -68,31 +68,40 @@ def lm_perplexity_scores(sf_dir: str,
     def train_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["source"].isin(reference_sources)].reset_index(drop=True)
         flat, lens = _split(df["text"])
-        toks = flat.to_numpy(dtype=object)
+        codes, uniq = pd.factorize(flat.to_numpy(dtype=object))
         doc_idx = np.repeat(np.arange(lens.size), lens)
-        same = doc_idx[:-1] == doc_idx[1:] if toks.size > 1 else np.zeros(0, bool)
-        prev, cur = toks[:-1][same], toks[1:][same]
-        bg = pd.DataFrame({"prev": prev, "cur": cur})
-        bg = bg.groupby(["prev", "cur"], as_index=False).size().rename(
-            columns={"size": "c"})
-        vocab = pd.DataFrame({"prev": pd.unique(toks), "cur": "", "c": 0})
+        if codes.size > 1:
+            same = doc_idx[:-1] == doc_idx[1:]
+            key = codes[:-1][same].astype(np.int64) * len(uniq) + codes[1:][same]
+            uk, c = np.unique(key, return_counts=True)
+            bg = pd.DataFrame({"prev": uniq[uk // len(uniq)],
+                               "cur": uniq[uk % len(uniq)],
+                               "c": c.astype(np.int64)})
+        else:
+            bg = pd.DataFrame({"prev": [], "cur": [], "c": []})
+        vocab = pd.DataFrame({"prev": uniq, "cur": "", "c": 0})
         return pd.concat([bg, vocab], ignore_index=True)
 
-    model = (
-        docs.map_batches(train_partial, batch_format="pandas")
-        .groupby(["prev", "cur"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
-    vocab = sorted(model.loc[model["cur"] == "", "prev"])
-    bigrams = model[model["cur"] != ""]
+    # streaming driver fold of the per-batch count partials: the folded
+    # dict IS the model artifact (same memory class as the final model),
+    # and skipping the Ray groupby saves its fixed shuffle cost — the
+    # partials are config-sized, not corpus-sized
+    bigram_c: dict[tuple[str, str], int] = {}
+    vocab_set: set[str] = set()
+    for b in docs.map_batches(train_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for p, cu, c in zip(b["prev"], b["cur"], b["c"]):
+            if cu == "":
+                vocab_set.add(p)
+            else:
+                bigram_c[(p, cu)] = bigram_c.get((p, cu), 0) + int(c)
+    vocab = sorted(vocab_set)
     w2i = {w: i for i, w in enumerate(vocab)}
     unk = len(vocab)                     # <unk> id
     vs = len(vocab)
     mat = np.zeros((vs + 1, vs + 1), dtype=np.int64)
-    pi = bigrams["prev"].map(w2i).to_numpy(np.int64)
-    ci = bigrams["cur"].map(w2i).to_numpy(np.int64)
-    mat[pi, ci] = bigrams["c"].to_numpy(np.int64)
+    for (p, cu), c in bigram_c.items():
+        mat[w2i[p], w2i[cu]] = c
     cprev = mat.sum(axis=1)
     # Pre-discretised cost table, built with math.log (glibc, the same
     # libm DuckDB's LN uses — numpy's SIMD log can differ by 1 ulp).
@@ -107,45 +116,54 @@ def lm_perplexity_scores(sf_dir: str,
                   for c in mat[p]]
     model_ref = ray.put((w2i, unk, tab))
 
-    # ---- scoring pass over every document
-    class Score:
-        def __init__(self):
-            self.w2i, self.unk, self.tab = ray.get(model_ref)
+    # ---- scoring pass over every document: stateless task, the model
+    # table arrives via a plasma-local ray.get per batch (free after the
+    # first fetch per worker; the stage scales to every CPU)
+    def score(df: pd.DataFrame, _ref=model_ref) -> pd.DataFrame:
+        w2i, unk_id, tab = ray.get(_ref)
+        df = df.reset_index(drop=True)
+        flat, lens = _split(df["text"])
+        # vocab-id mapping through the batch VOCABULARY (factorize
+        # once, dict-lookup per distinct token only) — a per-token
+        # pandas .map(dict) was the hot spot at sf0.1
+        tcodes, toks_u = pd.factorize(flat.to_numpy(dtype=object))
+        vocab_ids = np.fromiter(
+            (w2i.get(t, unk_id) for t in toks_u),
+            dtype=np.int64, count=len(toks_u))
+        codes = (vocab_ids[tcodes] if len(toks_u)
+                 else np.zeros(0, dtype=np.int64))
+        doc_idx = np.repeat(np.arange(lens.size), lens)
+        same = (doc_idx[:-1] == doc_idx[1:]
+                if codes.size > 1 else np.zeros(0, bool))
+        prev, cur = codes[:-1][same], codes[1:][same]
+        d = doc_idx[:-1][same]
+        micro = tab[prev, cur]
+        ndocs = len(df)
+        s = np.bincount(d, weights=micro, minlength=ndocs).astype(np.int64)
+        npos = np.bincount(d, minlength=ndocs).astype(np.int64)
+        scored = npos > 0
+        mean = s[scored] // npos[scored]
+        out = pd.DataFrame({
+            "lang": df["lang"].to_numpy()[scored],
+            "n_scored": 1,
+            "n_flagged": (mean > _FLAG_MICRO).astype(np.int64),
+            "nll_sum": mean,
+        })
+        return out.groupby("lang", as_index=False).sum()
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.reset_index(drop=True)
-            flat, lens = _split(df["text"])
-            codes = flat.map(self.w2i).fillna(self.unk).to_numpy(np.int64)
-            doc_idx = np.repeat(np.arange(lens.size), lens)
-            same = (doc_idx[:-1] == doc_idx[1:]
-                    if codes.size > 1 else np.zeros(0, bool))
-            prev, cur = codes[:-1][same], codes[1:][same]
-            d = doc_idx[:-1][same]
-            micro = self.tab[prev, cur]
-            ndocs = len(df)
-            s = np.bincount(d, weights=micro, minlength=ndocs).astype(np.int64)
-            npos = np.bincount(d, minlength=ndocs).astype(np.int64)
-            scored = npos > 0
-            mean = s[scored] // npos[scored]
-            out = pd.DataFrame({
-                "lang": df["lang"].to_numpy()[scored],
-                "n_scored": 1,
-                "n_flagged": (mean > _FLAG_MICRO).astype(np.int64),
-                "nll_sum": mean,
-            })
-            return out.groupby("lang", as_index=False).sum()
-
-    out = (
-        docs.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
-        .groupby("lang")
-        .aggregate(Sum("n_scored", alias_name="n_scored"),
-                   Sum("n_flagged", alias_name="n_flagged"),
-                   Sum("nll_sum", alias_name="nll_sum"))
-        .to_pandas()
-    )
-    out["avg_nll_micro"] = (out["nll_sum"] // out["n_scored"]).astype("int64")
-    out.drop(columns="nll_sum", inplace=True)
-    for c in ("n_scored", "n_flagged"):
+    # per-language partials are a handful of rows per batch — fold on
+    # the driver instead of paying a Ray shuffle
+    acc: dict[str, list[int]] = {}
+    for b in docs.map_batches(score, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for lang, ns, nf, sm in zip(b["lang"], b["n_scored"],
+                                    b["n_flagged"], b["nll_sum"]):
+            a = acc.setdefault(lang, [0, 0, 0])
+            a[0] += int(ns); a[1] += int(nf); a[2] += int(sm)
+    out = pd.DataFrame(
+        [(lg, a[0], a[1], a[2] // a[0]) for lg, a in acc.items()],
+        columns=["lang", "n_scored", "n_flagged", "avg_nll_micro"])
+    for c in ("n_scored", "n_flagged", "avg_nll_micro"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 

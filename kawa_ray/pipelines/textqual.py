@@ -276,29 +276,32 @@ def decontam_overlap(sf_dir: str, n: int = 5,
         bench_set.update(int(x) for x in b["h"])
     ref = ray.put(bench_set)
 
-    class Flag:
-        def __init__(self):
-            self.grams = ray.get(ref)
+    # stateless task (not an actor pool): the broadcast set is fetched
+    # with a plasma-local ray.get per batch — free after the first fetch
+    # per worker, and the stage scales to every CPU
+    def flag(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        grams = ray.get(_ref)
+        keep = ~df["source"].isin(benchmark_sources)
+        cand = df[keep]
+        hit = np.fromiter(
+            (any(md5_low64(g) in grams
+                 for g in word_ngrams(t.lower().split(), n))
+             for t in cand["text"]),
+            dtype=np.int64, count=len(cand))
+        out = pd.DataFrame({"lang": cand["lang"].to_numpy(),
+                            "n_docs": 1, "n_contaminated": hit})
+        return out.groupby("lang", as_index=False).sum()
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep = ~df["source"].isin(benchmark_sources)
-            cand = df[keep]
-            hit = np.fromiter(
-                (any(md5_low64(g) in self.grams
-                     for g in word_ngrams(t.lower().split(), n))
-                 for t in cand["text"]),
-                dtype=np.int64, count=len(cand))
-            out = pd.DataFrame({"lang": cand["lang"].to_numpy(),
-                                "n_docs": 1, "n_contaminated": hit})
-            return out.groupby("lang", as_index=False).sum()
-
-    out = (
-        docs.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))
-        .groupby("lang")
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("n_contaminated", alias_name="n_contaminated"))
-        .to_pandas()
-    )
+    # per-language partials (≤ one row per language per batch): driver
+    # fold, no shuffle
+    acc: dict[str, list[int]] = {}
+    for b in docs.map_batches(flag, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for lang, nd, nc in zip(b["lang"], b["n_docs"], b["n_contaminated"]):
+            a = acc.setdefault(lang, [0, 0])
+            a[0] += int(nd); a[1] += int(nc)
+    out = pd.DataFrame([(lg, a[0], a[1]) for lg, a in acc.items()],
+                       columns=["lang", "n_docs", "n_contaminated"])
     for c in ("n_docs", "n_contaminated"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
@@ -363,6 +366,27 @@ def _mg_compress(tokens: np.ndarray, counts: np.ndarray,
     return tokens[mask], kept[mask]
 
 
+def _lang_token_counts(df: pd.DataFrame):
+    """Vectorised (lang, token) occurrence counts for a batch: factorize
+    both columns, combine into one injective int key, count with
+    ``np.unique`` — no pandas string groupby in the hot path.  Returns
+    (langs_u, toks_u, lang_idx, tok_idx, counts, tcodes, toks_u_codes)
+    where the first five describe the count table."""
+    toks = df["text"].str.lower().str.split()
+    flat = toks.explode()
+    flat = flat[flat.notna()]
+    lang_of = df["lang"].reindex(flat.index).to_numpy()
+    lcodes, langs_u = pd.factorize(lang_of)
+    tcodes, toks_u = pd.factorize(flat.to_numpy(dtype=object))
+    if len(toks_u) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return langs_u, toks_u, z, z, z, tcodes, lcodes
+    key = lcodes.astype(np.int64) * len(toks_u) + tcodes
+    uk, counts = np.unique(key, return_counts=True)
+    return (langs_u, toks_u, uk // len(toks_u), uk % len(toks_u),
+            counts.astype(np.int64), tcodes, lcodes)
+
+
 def top_tokens_mg(sf_dir: str, k: int = 5, capacity: int = 64):
     """Exact per-language top-k tokens with a Misra–Gries candidate
     pass.  Phase 1 sends ≤ capacity (lang, token, partial-count) rows
@@ -376,62 +400,69 @@ def top_tokens_mg(sf_dir: str, k: int = 5, capacity: int = 64):
     ds = _read_docs(sf_dir, ["text", "lang"])
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.split()
-        flat = toks.explode()
-        flat = flat[flat.notna()]
-        lang_of = df["lang"].reindex(flat.index).to_numpy()
-        frame = pd.DataFrame({"lang": lang_of, "token": flat.to_numpy()})
-        counts = frame.groupby(["lang", "token"], as_index=False).size()
+        langs_u, toks_u, li, ti, counts, _, _ = _lang_token_counts(df)
         rows = []
-        for lang, grp in counts.groupby("lang"):
-            t, c = _mg_compress(grp["token"].to_numpy(),
-                                grp["size"].to_numpy(np.int64), capacity)
-            total = int(grp["size"].sum())
-            rows.append(pd.DataFrame({"lang": lang, "token": t, "cnt": c}))
-            rows.append(pd.DataFrame({"lang": [lang], "token": [""],
-                                      "cnt": [total]}))
+        for lc in range(len(langs_u)):
+            m = li == lc
+            t, c = _mg_compress(toks_u[ti[m]], counts[m], capacity)
+            rows.append(pd.DataFrame({"lang": langs_u[lc], "token": t, "cnt": c}))
+            rows.append(pd.DataFrame({"lang": [langs_u[lc]], "token": [""],
+                                      "cnt": [int(counts[m].sum())]}))
         return (pd.concat(rows, ignore_index=True) if rows
                 else pd.DataFrame({"lang": [], "token": [], "cnt": []}))
 
-    merged = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
-    totals = merged[merged["token"] == ""].set_index("lang")["cnt"]
-    summary = merged[merged["token"] != ""]
-    cand: dict[str, np.ndarray] = {}
-    for lang, grp in summary.groupby("lang"):
-        t, _ = _mg_compress(grp["token"].to_numpy(),
-                            grp["cnt"].to_numpy(np.int64), capacity)
-        cand[lang] = t
+    # streaming driver fold of the per-batch summaries — MG summaries
+    # are mergeable (merge = add counts, re-compress to capacity;
+    # Agarwal et al. 2013), so the driver holds ≤ capacity+batch rows
+    # per language at any time and no Ray shuffle is needed (a groupby
+    # over the tiny summary rows costs ~4 s of fixed overhead at any
+    # data size — the wrong tool for config-sized merges)
+    running: dict[str, dict[str, int]] = {}
+    totals: dict[str, int] = {}
+    for b in ds.map_batches(sketch, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for lang, grp in b.groupby("lang"):
+            is_tot = grp["token"] == ""
+            totals[lang] = totals.get(lang, 0) + int(grp.loc[is_tot, "cnt"].sum())
+            cur = running.setdefault(lang, {})
+            for t, c in zip(grp.loc[~is_tot, "token"], grp.loc[~is_tot, "cnt"]):
+                cur[t] = cur.get(t, 0) + int(c)
+            if len(cur) > capacity:
+                ts, cs = _mg_compress(
+                    np.array(list(cur.keys()), dtype=object),
+                    np.fromiter(cur.values(), dtype=np.int64, count=len(cur)),
+                    capacity)
+                running[lang] = dict(zip(ts, (int(x) for x in cs)))
+    cand: dict[str, np.ndarray] = {
+        lang: np.array(list(cur.keys()), dtype=object)
+        for lang, cur in running.items()}
     # union across languages: counting a token for a language it isn't a
     # candidate in only ADDS exactly-counted rows, never corrupts one
     cand_union = sorted({t for ts in cand.values() for t in ts})
     cand_ref = ray.put(frozenset(cand_union))
 
-    class Recount:
-        def __init__(self):
-            self.cand = ray.get(cand_ref)
+    def recount(df: pd.DataFrame, _ref=cand_ref) -> pd.DataFrame:
+        cand_set = ray.get(_ref)
+        langs_u, toks_u, li, ti, counts, _, _ = _lang_token_counts(df)
+        # candidate filter on the batch VOCABULARY (tiny), then a
+        # boolean gather over the count table — no per-token isin
+        keep_tok = np.fromiter((t in cand_set for t in toks_u),
+                               dtype=bool, count=len(toks_u))
+        m = keep_tok[ti] if len(toks_u) else np.zeros(0, dtype=bool)
+        return pd.DataFrame({"lang": langs_u[li[m]],
+                             "token": toks_u[ti[m]],
+                             "cnt": counts[m]})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            toks = df["text"].str.lower().str.split()
-            flat = toks.explode()
-            flat = flat[flat.notna()]
-            frame = pd.DataFrame({
-                "lang": df["lang"].reindex(flat.index).to_numpy(),
-                "token": flat.to_numpy()})
-            frame = frame[frame["token"].isin(self.cand)]
-            out = frame.groupby(["lang", "token"], as_index=False).size()
-            return out.rename(columns={"size": "cnt"})
-
-    exact = (
-        ds.map_batches(Recount, batch_format="pandas", concurrency=(1, 4))
-        .groupby(["lang", "token"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
+    # exact recount fold: ≤ |candidates| × languages keys on the driver
+    exact_counts: dict[tuple[str, str], int] = {}
+    for b in ds.map_batches(recount, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for lang, tok, c in zip(b["lang"], b["token"], b["cnt"]):
+            key = (lang, tok)
+            exact_counts[key] = exact_counts.get(key, 0) + int(c)
+    exact = pd.DataFrame(
+        [(lg, tok, c) for (lg, tok), c in exact_counts.items()],
+        columns=["lang", "token", "cnt"])
     exact = exact.sort_values(["lang", "cnt", "token"],
                               ascending=[True, False, True])
     topk = exact.groupby("lang").head(k).reset_index(drop=True)
@@ -448,14 +479,9 @@ def top_tokens_mg(sf_dir: str, k: int = 5, capacity: int = 64):
             ok = False
     if not ok:  # exact fallback: full-vocabulary shuffle
         def full_counts(df: pd.DataFrame) -> pd.DataFrame:
-            toks = df["text"].str.lower().str.split()
-            flat = toks.explode()
-            flat = flat[flat.notna()]
-            frame = pd.DataFrame({
-                "lang": df["lang"].reindex(flat.index).to_numpy(),
-                "token": flat.to_numpy()})
-            return frame.groupby(["lang", "token"], as_index=False).size().rename(
-                columns={"size": "cnt"})
+            langs_u, toks_u, li, ti, counts, _, _ = _lang_token_counts(df)
+            return pd.DataFrame({"lang": langs_u[li], "token": toks_u[ti],
+                                 "cnt": counts})
 
         exact = (
             ds.map_batches(full_counts, batch_format="pandas")
