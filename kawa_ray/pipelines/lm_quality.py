@@ -22,12 +22,14 @@ Semantics (mirrored token-for-token in the oracle):
   (mean nll > ``_FLAG_MICRO``), floor-mean of the per-doc means.
 
 Scale notes: the trained count table is the model artifact — bounded
-by the reference corpus' bigram vocabulary, built with one
-hash-partitioned groupby over the (small) reference slice, then
-``ray.put`` once and indexed as a dense matrix per batch (at real
-scale: a KenLM binary loaded per actor in ``__init__``).  The scoring
-pass is one streaming ``map_batches`` with numpy gather + bincount —
-no per-row Python, no shuffle.
+by the reference corpus' bigram vocabulary.  Per-batch count partials
+stream back to a driver fold (the folded dict is the same memory class
+as the model itself; a Ray groupby over config-sized partials costs
+seconds of fixed shuffle overhead for nothing), then the cost table is
+``ray.put`` once and gathered per batch (at real scale: a KenLM binary
+loaded per actor in ``__init__``).  The scoring pass is one streaming
+``map_batches`` with numpy gather + bincount — no per-row Python, no
+shuffle.
 """
 
 from __future__ import annotations
@@ -39,7 +41,6 @@ import pandas as pd
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 _REFERENCE_SOURCES = ("src0", "src7")
 _FLAG_MICRO = 3_500_000  # mean nll > 3.5 nats ~ perplexity > 33
@@ -243,23 +244,31 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
         flat, lens = _split(df["text"])
-        toks = flat.to_numpy(dtype=object)
-        doc_idx = np.repeat(np.arange(lens.size), lens)
-        same = doc_idx[:-1] == doc_idx[1:] if toks.size > 1 else np.zeros(0, bool)
-        bg = pd.DataFrame({"prev": toks[:-1][same], "cur": toks[1:][same]})
-        bg = bg.groupby(["prev", "cur"], as_index=False).size().rename(
-            columns={"size": "c"})
-        uni = pd.DataFrame({"prev": toks, "cur": ""})
-        uni = uni.groupby(["prev", "cur"], as_index=False).size().rename(
-            columns={"size": "c"})
-        return pd.concat([bg, uni], ignore_index=True)
+        codes, uniq = pd.factorize(flat.to_numpy(dtype=object))
+        frames = []
+        if codes.size > 1:
+            doc_idx = np.repeat(np.arange(lens.size), lens)
+            same = doc_idx[:-1] == doc_idx[1:]
+            key = codes[:-1][same].astype(np.int64) * len(uniq) + codes[1:][same]
+            uk, c = np.unique(key, return_counts=True)
+            frames.append(pd.DataFrame({"prev": uniq[uk // len(uniq)],
+                                        "cur": uniq[uk % len(uniq)],
+                                        "c": c.astype(np.int64)}))
+        if codes.size:
+            uc = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+            frames.append(pd.DataFrame({"prev": uniq, "cur": "", "c": uc}))
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"prev": [], "cur": [], "c": []}))
 
-    counts = (
-        docs.map_batches(count_partial, batch_format="pandas")
-        .groupby(["prev", "cur"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
+    # driver fold of the bigram-vocabulary-sized partials (no shuffle)
+    cmap: dict[tuple[str, str], int] = {}
+    for b in docs.map_batches(count_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for p, cu, c in zip(b["prev"], b["cur"], b["c"]):
+            cmap[(p, cu)] = cmap.get((p, cu), 0) + int(c)
+    counts = pd.DataFrame(
+        [(p, cu, c) for (p, cu), c in cmap.items()],
+        columns=["prev", "cur", "c"])
     uni = counts[counts["cur"] == ""].set_index("prev")["c"]
     bg = counts[counts["cur"] != ""].copy()
     n_uni = int(uni.sum())
