@@ -50,11 +50,12 @@ def run_bench() -> dict:
 
     rd.read_parquet(os.path.join(pages_dir, "pages"), columns=["url"]).count()
 
-    # best-of-2: the first run pays actor-pool and object-store warmup;
-    # the min is the stable figure (both are full end-to-end executions).
+    # best-of-3: the first run pays actor-pool and object-store warmup,
+    # and the min also filters residual-load noise (measured ±30% on a
+    # recently-busy box); each run is a full end-to-end execution.
     # --scaling subprocesses set GRAFT_BENCH_RUNS=1: they already repeat
     # at the process level, so a nested repeat would just burn time.
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
     headline = None
     n_clusters_rows = 0
     for _ in range(n_runs):

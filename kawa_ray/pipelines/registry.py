@@ -178,6 +178,9 @@ EXTRA_QUERIES = {
     "customers_without_big_orders": relational.customers_without_big_orders,
     "lineitem_rollup": relational.lineitem_rollup,
     "events_pivot": relational.events_pivot,
+    # JSON column extraction + rolling-window aggregate
+    "events_props_stats": relational.events_props_stats,
+    "events_rolling_max": relational.events_rolling_max,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -215,6 +218,8 @@ EXTRA_ORACLE_SQL = {
     "customers_without_big_orders": relational.CUSTOMERS_ANTI_JOIN_SQL,
     "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
     "events_pivot": relational.EVENTS_PIVOT_SQL,
+    "events_props_stats": relational.EVENTS_PROPS_SQL,
+    "events_rolling_max": relational.EVENTS_ROLLING_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"

@@ -1070,3 +1070,122 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured JSON parsing: decode the ``props`` JSON column,
+    extract ``k``, aggregate per event type (count, sum, distinct ks).
+    JSON decode is inherently per-record (same in every engine); the
+    aggregation side stays batch-partial — per-batch (type, k) distinct
+    pairs are domain-bounded, so they fold on the driver."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = [json.loads(s)["k"] for s in df["props"]]
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "k": ks})
+        g = out.groupby(["event_type", "k"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    acc: dict[tuple[str, int], int] = {}
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for t, k, n in zip(b["event_type"], b["k"], b["n"]):
+            acc[(t, int(k))] = acc.get((t, int(k)), 0) + int(n)
+    rows = pd.DataFrame(
+        [(t, k, n) for (t, k), n in acc.items()],
+        columns=["event_type", "k", "n"])
+    out = rows.groupby("event_type").agg(
+        n=("n", "sum"),
+        sum_k=("k", lambda s: int((s * rows.loc[s.index, "n"]).sum())),
+        n_distinct_k=("k", "size"),
+    ).reset_index()
+    for c in ("n", "sum_k", "n_distinct_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT)
+         AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_rolling_max(sf_dir: str, window: int = 3):
+    """Rolling-window aggregate: per user, events ordered by
+    (ts, event_id), the 3-event rolling mean of ``value``; output each
+    user's maximum rolling mean.  Scale shape = the as-of join's: hash
+    co-partition by user, per-user ordered arrays inside the partition
+    (one user's history per worker, never the corpus)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    P = 64
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy(np.int64)) & (P - 1)
+        return df
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        n = v.size
+        if n == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "max_rolling_mean": pd.Series([], dtype="float64")})
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(newu)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, lens)
+        # full windows, vectorised with explicit ascending-index adds
+        # (((v[i-w+1] + v[i-w+2]) + ...) + v[i]) — the frame order the
+        # SQL window AVG uses; boundary rows (< w-1 per user) in a
+        # small loop
+        s = np.zeros(n, dtype=np.float64)
+        for off in range(window - 1, -1, -1):
+            sh = np.empty(n, dtype=np.float64)
+            sh[off:] = v[: n - off] if off else v
+            sh[:off] = 0.0
+            s = s + sh
+        mean = s / float(window)
+        for i in np.flatnonzero(pos < window - 1):
+            acc = 0.0
+            for j in range(i - pos[i], i + 1):
+                acc = acc + v[j]
+            mean[i] = acc / (pos[i] + 1)
+        best = np.maximum.reduceat(mean, starts)
+        return pd.DataFrame({"user_id": pd.Series(u[starts], dtype="int64"),
+                             "max_rolling_mean": best})
+
+    out = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(rolling, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_ROLLING_SQL = """
+WITH r AS (
+  SELECT user_id,
+         AVG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+         ) AS m
+  FROM events
+)
+SELECT user_id, MAX(m) AS max_rolling_mean
+FROM r GROUP BY user_id ORDER BY user_id
+"""
