@@ -57,8 +57,6 @@ QUERIES = {
     "events_dedup_first": relational.events_dedup_first,
     "event_value_quantiles": relational.event_value_quantiles,
     "approx_distinct_users": relational.approx_distinct_users,
-    "top_events_per_user": relational.top_events_per_user,
-    "events_window_counts": relational.events_window_counts,
     "purchase_asof_click": relational.purchase_asof_click,
     "purchase_window_range_join": relational.purchase_window_range_join,
     # ---- builder-ETL dataflow shapes (B2/B3/B5/B7/B11) ----
@@ -76,16 +74,23 @@ QUERIES = {
     "simhash_dedup_docs": docs.simhash_dedup_docs,
     "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
     "doc_winnow_fingerprints": docs.doc_winnow_fingerprints,
-    "docs_split_assign": docs.docs_split_assign,
+    # round-3 second wave: the LLM-training-data quality/retrieval
+    # suite takes the driver slots of family-overlapping entries
+    # (top_events_per_user, events_window_counts, docs_split_assign,
+    # ann_lsh_recall, embedding_neardup_pairs -> EXTRA tier; each
+    # remaining window entry still covers that operator family)
+    "doc_repetition_stats": textqual.doc_repetition_stats,
+    "decontam_overlap": textqual.decontam_overlap,
+    "lm_perplexity_scores": lm_quality.lm_perplexity_scores,
+    "bm25_topk": bm25.bm25_topk,
+    "stratified_sample_quota": mixtures.stratified_sample_quota,
     # K3 upsert/remap/defragment semantics, driver-visible (the
     # split/sample family keeps docs_split_assign in the window;
     # docs_sample_stats moved to the pytest tier to stay within 50)
     "kb_defragment": kb_maintenance.kb_defragment,
     # ---- similarity search over embeddings ----
     "ann_topk": vectors.ann_topk,
-    "ann_lsh_recall": vectors.ann_lsh_recall,
     "ann_ivf_recall": vectors.ann_ivf_recall,
-    "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
     "embedding_centroids": vectors.embedding_centroids,
     "embedding_neardup_census": vectors.embedding_neardup_census,
     # ---- multimodal binary columns (decode stubbed; plumbing real) ----
@@ -105,8 +110,6 @@ ORACLE_SQL = {
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
     "event_value_quantiles": relational.EVENT_VALUE_QUANTILES_SQL,
     "approx_distinct_users": relational.APPROX_DISTINCT_SQL,
-    "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
-    "events_window_counts": relational.EVENTS_WINDOW_SQL,
     "purchase_asof_click": relational.PURCHASE_ASOF_SQL,
     "purchase_window_range_join": relational.PURCHASE_RANGE_JOIN_SQL,
     "suppliers_per_nation": builder.SUPPLIERS_PER_NATION_SQL,
@@ -122,12 +125,14 @@ ORACLE_SQL = {
     "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
     "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
     "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,
-    "docs_split_assign": docs.DOCS_SPLIT_SQL,
+    "doc_repetition_stats": textqual.DOC_REPETITION_SQL,
+    "decontam_overlap": textqual.DECONTAM_SQL,
+    "lm_perplexity_scores": lm_quality.LM_PERPLEXITY_SQL,
+    "bm25_topk": bm25.BM25_TOPK_SQL,
+    "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
     "kb_defragment": kb_maintenance.KB_DEFRAGMENT_SQL,
     "ann_topk": vectors.ANN_TOPK_SQL,
-    "ann_lsh_recall": vectors.ANN_RECALL_SQL,
     "ann_ivf_recall": vectors.ANN_RECALL_SQL,
-    "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,
     "embedding_centroids": vectors.EMBEDDING_CENTROIDS_SQL,
     "embedding_neardup_census": vectors.EMBEDDING_NEARDUP_CENSUS_SQL,
     "media_census_plan": media.MEDIA_CENSUS_PLAN_SQL,
@@ -161,19 +166,19 @@ EXTRA_QUERIES = {
     "fs_match_weights": fs_linkage.fs_match_weights,
     # Lee-et-al-style exact-substring duplicate spans (token winnowing)
     "doc_substring_dup_census": substring_dedup.doc_substring_dup_census,
-    # Gopher-style repetition filters / n-gram decontamination /
     # Misra-Gries two-pass exact top-k (textqual.py, round 3)
-    "doc_repetition_stats": textqual.doc_repetition_stats,
-    "decontam_overlap": textqual.decontam_overlap,
     "top_tokens_mg": textqual.top_tokens_mg,
-    # training-mixture composition (stratified quota sample, source plan)
-    "stratified_sample_quota": mixtures.stratified_sample_quota,
+    # training-mixture source plan (quota sample is driver-tier)
     "source_mixture_plan": mixtures.source_mixture_plan,
-    # sparse lexical retrieval (BM25 two-pass streaming top-k)
-    "bm25_topk": bm25.bm25_topk,
-    # CCNet-shape LM quality scoring + PMI collocations
-    "lm_perplexity_scores": lm_quality.lm_perplexity_scores,
+    # PMI collocations (LM perplexity is driver-tier)
     "pmi_collocations": lm_quality.pmi_collocations,
+    # demoted from the driver window by the second-wave swap (their
+    # operator families stay window-covered)
+    "top_events_per_user": relational.top_events_per_user,
+    "events_window_counts": relational.events_window_counts,
+    "docs_split_assign": docs.docs_split_assign,
+    "ann_lsh_recall": vectors.ann_lsh_recall,
+    "embedding_neardup_pairs": vectors.embedding_neardup_pairs,
     # relational family completion: anti-join / rollup / pivot
     "customers_without_big_orders": relational.customers_without_big_orders,
     "lineitem_rollup": relational.lineitem_rollup,
@@ -207,14 +212,14 @@ EXTRA_ORACLE_SQL = {
     "kb_point_lookups": kb_maintenance.KB_POINT_LOOKUPS_SQL,
     "fs_match_weights": fs_linkage.FS_MATCH_WEIGHTS_SQL,
     "doc_substring_dup_census": substring_dedup.SUBSTRING_DUP_SQL,
-    "doc_repetition_stats": textqual.DOC_REPETITION_SQL,
-    "decontam_overlap": textqual.DECONTAM_SQL,
     "top_tokens_mg": textqual.TOP_TOKENS_SQL,
-    "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
     "source_mixture_plan": mixtures.SOURCE_MIXTURE_SQL,
-    "bm25_topk": bm25.BM25_TOPK_SQL,
-    "lm_perplexity_scores": lm_quality.LM_PERPLEXITY_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
+    "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
+    "events_window_counts": relational.EVENTS_WINDOW_SQL,
+    "docs_split_assign": docs.DOCS_SPLIT_SQL,
+    "ann_lsh_recall": vectors.ANN_RECALL_SQL,
+    "embedding_neardup_pairs": vectors.EMBEDDING_NEARDUP_SQL,
     "customers_without_big_orders": relational.CUSTOMERS_ANTI_JOIN_SQL,
     "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
     "events_pivot": relational.EVENTS_PIVOT_SQL,
