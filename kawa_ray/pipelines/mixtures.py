@@ -23,6 +23,7 @@ import os
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -139,3 +140,123 @@ SELECT source, n_docs, n_tokens,
 FROM per_source, tot
 ORDER BY source
 """
+
+
+def pack_sequences_plan(sf_dir: str, seq_len: int = 512, range_size: int = 4096,
+                        partitions: int = 64):
+    """Concat-and-split sequence packing plan (the GPT-style "pack the
+    token stream into fixed-length training sequences" step): documents
+    concatenated in doc_id order, cut every ``seq_len`` tokens.  Census
+    per language: docs, tokens, and docs straddling a sequence boundary.
+
+    The global prefix sum is reconstructed distributedly: pass 1 folds
+    per-range token sums (range = doc_id // range_size) into range
+    offsets on the driver (bounded: one int per range); pass 2 shuffles
+    doc rows by range bucket and computes each doc's global start as
+    range_offset + in-range prefix — no stage ever sees the whole
+    stream, and the only shuffle is the range-bucket hash partition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        toks = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), toks)
+        doc_id = pc.cast(t.column("doc_id"), pa.int64())
+        rng = pc.divide(doc_id, range_size)
+        return pa.table({"doc_id": doc_id, "lang": t.column("lang"),
+                         "n_tok": pc.cast(toks, pa.int64()),
+                         "rng": pc.cast(rng, pa.int64())})
+
+    rows = ds.map_batches(doc_rows, batch_format="pyarrow").materialize()
+
+    # pass 1: per-range token sums -> global offsets (driver fold over
+    # one partial row per range per batch)
+    range_sums: dict[int, int] = {}
+    for b in rows.map_batches(
+            lambda t: t.group_by("rng").aggregate([("n_tok", "sum")]).rename_columns(
+                ["rng", "s"]),
+            batch_format="pyarrow").iter_batches(batch_format="pandas"):
+        for r, s in zip(b["rng"], b["s"]):
+            range_sums[int(r)] = range_sums.get(int(r), 0) + int(s)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(range_sums):
+        offsets[r] = acc
+        acc += range_sums[r]
+    off_ref = ray.put(offsets)
+
+    def per_partition(g: pd.DataFrame, _ref=off_ref) -> pd.DataFrame:
+        offs = ray.get(_ref)
+        out = []
+        for r, grp in g.groupby("rng", sort=False):
+            grp = grp.sort_values("doc_id")
+            tok = grp["n_tok"].to_numpy(np.int64)
+            start = offs[int(r)] + np.concatenate(
+                [[0], np.cumsum(tok[:-1])]) if tok.size else np.zeros(0, np.int64)
+            straddle = (tok >= 1) & (start // seq_len != (start + tok - 1) // seq_len)
+            out.append(pd.DataFrame({
+                "lang": grp["lang"].to_numpy(),
+                "n_docs": 1,
+                "n_tokens": tok,
+                "n_straddling": straddle.astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({"lang": [], "n_docs": [], "n_tokens": [],
+                                 "n_straddling": []})
+        return pd.concat(out, ignore_index=True).groupby(
+            "lang", as_index=False).sum()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = df["rng"].to_numpy(np.int64) & (partitions - 1)
+        return df
+
+    acc2: dict[str, list[int]] = {}
+    folded = (
+        rows.map_batches(bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+    for b in folded.iter_batches(batch_format="pandas"):
+        for lang, nd, nt, ns in zip(b["lang"], b["n_docs"],
+                                    b["n_tokens"], b["n_straddling"]):
+            a = acc2.setdefault(lang, [0, 0, 0])
+            a[0] += int(nd); a[1] += int(nt); a[2] += int(ns)
+    out = pd.DataFrame(
+        [(lg, a[0], a[1], a[2]) for lg, a in acc2.items()],
+        columns=["lang", "n_docs", "n_tokens", "n_straddling"])
+    for c in ("n_docs", "n_tokens", "n_straddling"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _pack_sql(seq_len: int = 512) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r'), '\\s+'))
+              END AS n_tok
+  FROM documents
+), o AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM toks
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n_tok >= 1
+                      AND (start // {seq_len}) != ((start + n_tok - 1) // {seq_len})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM o
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+PACK_SEQUENCES_SQL = _pack_sql()

@@ -170,6 +170,8 @@ EXTRA_QUERIES = {
     "top_tokens_mg": textqual.top_tokens_mg,
     # training-mixture source plan (quota sample is driver-tier)
     "source_mixture_plan": mixtures.source_mixture_plan,
+    # concat-and-split sequence packing (distributed prefix sum)
+    "pack_sequences_plan": mixtures.pack_sequences_plan,
     # PMI collocations (LM perplexity is driver-tier)
     "pmi_collocations": lm_quality.pmi_collocations,
     # demoted from the driver window by the second-wave swap (their
@@ -214,6 +216,7 @@ EXTRA_ORACLE_SQL = {
     "doc_substring_dup_census": substring_dedup.SUBSTRING_DUP_SQL,
     "top_tokens_mg": textqual.TOP_TOKENS_SQL,
     "source_mixture_plan": mixtures.SOURCE_MIXTURE_SQL,
+    "pack_sequences_plan": mixtures.PACK_SEQUENCES_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
