@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import bm25, builder, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -172,6 +172,8 @@ EXTRA_QUERIES = {
     "source_mixture_plan": mixtures.source_mixture_plan,
     # concat-and-split sequence packing (distributed prefix sum)
     "pack_sequences_plan": mixtures.pack_sequences_plan,
+    # resumable write path: clean + materialize partitioned parquet
+    "docs_clean_write": clean_corpus.docs_clean_write,
     # PMI collocations (LM perplexity is driver-tier)
     "pmi_collocations": lm_quality.pmi_collocations,
     # demoted from the driver window by the second-wave swap (their
@@ -217,6 +219,7 @@ EXTRA_ORACLE_SQL = {
     "top_tokens_mg": textqual.TOP_TOKENS_SQL,
     "source_mixture_plan": mixtures.SOURCE_MIXTURE_SQL,
     "pack_sequences_plan": mixtures.PACK_SEQUENCES_SQL,
+    "docs_clean_write": clean_corpus.DOCS_CLEAN_WRITE_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
