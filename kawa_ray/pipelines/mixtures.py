@@ -49,14 +49,27 @@ def stratified_sample_quota(sf_dir: str, quota: int = 5):
         out = out.sort_values(["lang", "h", "doc_id"])
         return out.groupby("lang", as_index=False).head(quota)
 
-    parts = ds.map_batches(local_topq, batch_format="pandas").to_pandas()
-    parts = parts.sort_values(["lang", "h", "doc_id"])
-    sel = parts.groupby("lang", as_index=False).head(quota).copy()
+    # streaming driver fold: keep only the running top-quota per
+    # language while partials arrive, so driver memory is
+    # O(quota x languages) regardless of batch count
+    running: dict[str, pd.DataFrame] = {}
+    for b in ds.map_batches(local_topq, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for lang, grp in b.groupby("lang"):
+            cur = running.get(lang)
+            merged = grp if cur is None else pd.concat([cur, grp])
+            merged = merged.sort_values(["h", "doc_id"]).head(quota)
+            running[lang] = merged
+    if not running:
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "rk": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64")})
+    sel = pd.concat(running.values(), ignore_index=True)
+    sel = sel.sort_values(["lang", "h", "doc_id"]).reset_index(drop=True)
     sel["rk"] = sel.groupby("lang").cumcount() + 1
     sel["rk"] = sel["rk"].astype("int64")
     sel["doc_id"] = sel["doc_id"].astype("int64")
-    return sel[["lang", "rk", "doc_id"]].sort_values(
-        ["lang", "rk"]).reset_index(drop=True)
+    return sel[["lang", "rk", "doc_id"]].reset_index(drop=True)
 
 
 def _quota_sql(quota: int = 5) -> str:
@@ -260,3 +273,93 @@ ORDER BY lang
 
 
 PACK_SEQUENCES_SQL = _pack_sql()
+
+
+def source_divergence(sf_dir: str):
+    """Distribution-drift QA for the mixture: per-source KL divergence
+    of the token distribution against the corpus-wide distribution —
+    the "did this source drift from the corpus?" monitor a mixture
+    pipeline runs per ingest.  KL(source ‖ corpus) =
+    Σ_t p_s(t) · ln(p_s(t)/p(t)); each token's term is discretised to
+    nano units with ``math.floor`` BEFORE summing (order-free integer
+    sum, and math.log == DuckDB LN), so the oracle is exact.  One
+    streaming count pass; the (source × vocabulary) count table folds
+    on the driver (the same memory class as the distributions being
+    compared)."""
+    import math
+
+    docs = _read_docs(sf_dir, ["text", "source"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        flat = toks.explode()
+        flat = flat[flat.notna()]
+        src = df["source"].reindex(flat.index).to_numpy()
+        scodes, src_u = pd.factorize(src)
+        tcodes, tok_u = pd.factorize(flat.to_numpy(dtype=object))
+        if len(tok_u) == 0:
+            return pd.DataFrame({"source": [], "token": [], "c": []})
+        key = scodes.astype(np.int64) * len(tok_u) + tcodes
+        uk, c = np.unique(key, return_counts=True)
+        return pd.DataFrame({"source": src_u[uk // len(tok_u)],
+                             "token": tok_u[uk % len(tok_u)],
+                             "c": c.astype(np.int64)})
+
+    counts: dict[tuple[str, str], int] = {}
+    for b in docs.map_batches(count_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for s, t, c in zip(b["source"], b["token"], b["c"]):
+            counts[(s, t)] = counts.get((s, t), 0) + int(c)
+    n_s: dict[str, int] = {}
+    c_g: dict[str, int] = {}
+    for (s, t), c in counts.items():
+        n_s[s] = n_s.get(s, 0) + c
+        c_g[t] = c_g.get(t, 0) + c
+    n = sum(n_s.values())
+    rows = []
+    for s in sorted(n_s):
+        kl_nano = 0
+        for (src, t), c in counts.items():
+            if src != s:
+                continue
+            ratio = (float(c) * float(n)) / (float(n_s[s]) * float(c_g[t]))
+            kl_nano += math.floor(
+                (float(c) / float(n_s[s])) * math.log(ratio) * 1_000_000_000.0)
+        rows.append((s, n_s[s], kl_nano))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "kl_nano"])
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["kl_nano"] = out["kl_nano"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT source,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents
+), u AS (
+  SELECT source, UNNEST(t) AS w FROM toks
+), sc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1, 2
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM sc GROUP BY 1
+), g AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS cg FROM sc GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc
+)
+SELECT sc.source, ns.n_s AS n_tokens,
+       CAST(SUM(CAST(FLOOR(
+         (CAST(sc.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+         * LN(CAST(sc.c AS DOUBLE) * CAST(tot.n AS DOUBLE)
+              / (CAST(ns.n_s AS DOUBLE) * CAST(g.cg AS DOUBLE)))
+         * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl_nano
+FROM sc
+JOIN ns USING (source)
+JOIN g ON g.w = sc.w
+CROSS JOIN tot
+GROUP BY sc.source, ns.n_s
+ORDER BY sc.source
+"""

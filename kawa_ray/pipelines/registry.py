@@ -174,6 +174,8 @@ EXTRA_QUERIES = {
     "pack_sequences_plan": mixtures.pack_sequences_plan,
     # resumable write path: clean + materialize partitioned parquet
     "docs_clean_write": clean_corpus.docs_clean_write,
+    # mixture drift QA: per-source KL divergence vs the corpus
+    "source_divergence": mixtures.source_divergence,
     # PMI collocations (LM perplexity is driver-tier)
     "pmi_collocations": lm_quality.pmi_collocations,
     # demoted from the driver window by the second-wave swap (their
@@ -220,6 +222,7 @@ EXTRA_ORACLE_SQL = {
     "source_mixture_plan": mixtures.SOURCE_MIXTURE_SQL,
     "pack_sequences_plan": mixtures.PACK_SEQUENCES_SQL,
     "docs_clean_write": clean_corpus.DOCS_CLEAN_WRITE_SQL,
+    "source_divergence": mixtures.SOURCE_DIVERGENCE_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
