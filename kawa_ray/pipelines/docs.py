@@ -611,12 +611,11 @@ def _edges_census(sf_dir: str, edges: rd.Dataset) -> pd.DataFrame:
     )
 
 
-def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                       jaccard_threshold: float = 0.8):
-    """MinHash-LSH near-dup detection: shingle -> minhash -> band buckets
-    (groupby) -> candidate pairs -> Jaccard verify -> connected components
-    (the canonical pipeline from ray_guide 'Aggregation at scale').
-    Rows-only oracle (sketch-based, non-SQL)."""
+def _minhash_edges(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                   jaccard_threshold: float = 0.8) -> rd.Dataset:
+    """Shared MinHash-LSH chain: shingle -> minhash -> band buckets ->
+    candidate pairs -> Jaccard-verified duplicate edges (used by the
+    census and the keep-best representative selection)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sig(t: pa.Table) -> pa.Table:
@@ -637,8 +636,16 @@ def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     banded = ds.map_batches(sig, batch_format="pyarrow")
     cand = _partitioned_band_pairs(banded, "band", max_members=200)
-    edges = _verified_edges(sf_dir, cand, 3, jaccard_threshold)
-    return _edges_census(sf_dir, edges)
+    return _verified_edges(sf_dir, cand, 3, jaccard_threshold)
+
+
+def minhash_dedup_docs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                       jaccard_threshold: float = 0.8):
+    """MinHash-LSH near-dup detection: shingle -> minhash -> band buckets
+    (groupby) -> candidate pairs -> Jaccard verify -> connected components
+    (the canonical pipeline from ray_guide 'Aggregation at scale')."""
+    return _edges_census(
+        sf_dir, _minhash_edges(sf_dir, num_perm, bands, jaccard_threshold))
 
 
 def simhash_dedup_docs(sf_dir: str, max_hamming: int = 6):
@@ -1235,3 +1242,167 @@ FROM (SELECT DISTINCT doc_id, lang FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """
+
+
+# ------------------------------------------- near-dup representative selection
+
+def _member_token_rows(sf_dir: str) -> rd.Dataset:
+    """(node=str(doc_id), lang, ntok) for every document — one streaming
+    pass, vectorised; joined against cluster labels downstream."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        toks = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), toks)
+        return pa.table({
+            "node": pc.cast(t.column("doc_id"), pa.string()),
+            "lang": t.column("lang"),
+            "ntok": pc.cast(toks, pa.int64()),
+        })
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+def _keep_best_census(sf_dir: str, edges: rd.Dataset,
+                      driver_threshold: int | None = None) -> pd.DataFrame:
+    """Representative selection over duplicate clusters: per component
+    keep the doc with the most tokens (tie: smallest doc_id); census per
+    language of (members, kept, dropped).  Below ``driver_threshold``
+    edges the closure runs as driver union-find (edge-space, the
+    _edges_census bound); above it, distributed label propagation plus
+    two hash-partitioned joins (attach label by node, then argmax by
+    label) — no driver-held node table on the scale path."""
+    if driver_threshold is None:
+        driver_threshold = _DRIVER_EDGE_THRESHOLD
+    cols = ["lang", "n_members", "n_kept", "n_dropped"]
+    edges_s = edges.map_batches(
+        lambda df: pd.DataFrame({"a": df["a"].astype(str), "b": df["b"].astype(str)}),
+        batch_format="pandas",
+    ).materialize()
+    n_edges = int(edges_s.count())
+    if n_edges == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "lang" else object)
+                             for c in cols})
+    P = 64
+
+    if n_edges <= driver_threshold:
+        edf = edges_s.to_pandas()
+        groups = union_find_components(zip(edf["a"], edf["b"]))
+        import ray
+
+        g_ref = ray.put(groups)
+
+        def member_rows(df: pd.DataFrame, _ref=g_ref) -> pd.DataFrame:
+            g = ray.get(_ref)
+            keep = df["node"].isin(g)
+            out = df[keep].copy()
+            out["lbl"] = out["node"].map(g)
+            return out
+
+        members = _member_token_rows(sf_dir).map_batches(
+            member_rows, batch_format="pandas").to_pandas()  # node-space
+    else:
+        from kawa_ray.stages.clustering import label_propagation_components_bucketed
+        from kawa_ray.functions.minhash import hash64
+
+        labels = label_propagation_components_bucketed(edges_s)
+        lab_rows = labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "lbl": df["lbl"],
+                                     "lang": "", "ntok": -1}),
+            batch_format="pandas")
+        tok_rows = _member_token_rows(sf_dir).map_batches(
+            lambda df: df.assign(lbl=""), batch_format="pandas")
+
+        def attach_lbl(g: pd.DataFrame) -> pd.DataFrame:
+            lbl_of = dict(zip(g.loc[g["ntok"] == -1, "node"],
+                              g.loc[g["ntok"] == -1, "lbl"]))
+            toks = g[g["ntok"] >= 0]
+            keep = toks["node"].isin(lbl_of)
+            out = toks[keep].copy()
+            out["lbl"] = out["node"].map(lbl_of)
+            return out[["node", "lang", "ntok", "lbl"]]
+
+        members = (
+            lab_rows.union(tok_rows)
+            .map_batches(lambda df: df.assign(
+                part=[hash64(n) % P for n in df["node"]]), batch_format="pandas")
+            .groupby("part")
+            .map_groups(attach_lbl, batch_format="pandas")
+            .map_batches(lambda df: df.assign(
+                part=[hash64(x) % P for x in df["lbl"]]), batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: g.drop(columns="part"), batch_format="pandas")
+            .to_pandas()
+        )
+
+    members["doc_int"] = members["node"].astype("int64")
+    members = members.sort_values(["lbl", "ntok", "doc_int"],
+                                  ascending=[True, False, True])
+    members["rn"] = members.groupby("lbl").cumcount()
+    census = members.groupby("lang").agg(
+        n_members=("node", "size"),
+        n_kept=("rn", lambda s: int((s == 0).sum())),
+        n_dropped=("rn", lambda s: int((s != 0).sum())),
+    ).reset_index()
+    for c in ("n_members", "n_kept", "n_dropped"):
+        census[c] = census[c].astype("int64")
+    return census.sort_values("lang").reset_index(drop=True)
+
+
+def minhash_keep_best(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.8,
+                      driver_threshold: int | None = None):
+    """Near-dup representative selection: MinHash-LSH clusters (same
+    chain as ``minhash_dedup_docs``), keep the longest member per
+    cluster (tie: smallest doc_id) — the real-pipeline alternative to
+    keep-first dedup.  Exact SQL oracle (the minhash chain's CTEs with a
+    ROW_NUMBER keep-best tail)."""
+    edges = _minhash_edges(sf_dir, num_perm, bands, jaccard_threshold)
+    return _keep_best_census(sf_dir, edges, driver_threshold)
+
+
+def _keep_best_tail() -> str:
+    """closure (as in _verify_census_sql) + keep-best census tail."""
+    return """
+, adj AS (
+  SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT x AS node, x AS lbl FROM adj
+  UNION
+  SELECT adj.y AS node, r.lbl FROM reach r JOIN adj ON adj.x = r.node
+  WHERE r.lbl < adj.y
+), comp AS (
+  SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+), mtok AS (
+  SELECT c.node AS doc_id, c.lbl, d.lang,
+         CASE WHEN TRIM(d.text, ' \t\n\r') = '' THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(d.text, ' \t\n\r'), '\\s+'))
+              END AS ntok
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+), ranked AS (
+  SELECT lang,
+         ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY ntok DESC, doc_id ASC) AS rn
+  FROM mtok
+)
+SELECT lang, COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def _minhash_keep_best_sql(num_perm: int = 64, bands: int = 16,
+                           threshold: float = 0.8, max_members: int = 200) -> str:
+    base = _minhash_sql(num_perm, bands, threshold, max_members)
+    # reuse the chain through the verified `edges` CTE, swap in the
+    # keep-best tail (the census tail starts at the shared ", adj AS")
+    head = base[: base.index(", adj AS (")]
+    return head + _keep_best_tail()
+
+
+MINHASH_KEEP_BEST_SQL = _minhash_keep_best_sql()

@@ -192,6 +192,8 @@ EXTRA_QUERIES = {
     # JSON column extraction + rolling-window aggregate
     "events_props_stats": relational.events_props_stats,
     "events_rolling_max": relational.events_rolling_max,
+    # near-dup representative selection (keep longest per cluster)
+    "minhash_keep_best": docs.minhash_keep_best,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -223,6 +225,7 @@ EXTRA_ORACLE_SQL = {
     "pack_sequences_plan": mixtures.PACK_SEQUENCES_SQL,
     "docs_clean_write": clean_corpus.DOCS_CLEAN_WRITE_SQL,
     "source_divergence": mixtures.SOURCE_DIVERGENCE_SQL,
+    "minhash_keep_best": docs.MINHASH_KEEP_BEST_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

@@ -62,3 +62,14 @@ def test_exact_vs_minhash_consistency(ray_session, docs_mod):
     exact = docs_mod.exact_dedup_docs(SF_DIR)
     near = docs_mod.minhash_dedup_docs(SF_DIR)
     assert int(near["n_duplicates"].iloc[0]) >= int(exact["n_duplicates"].sum())
+
+
+def test_keep_best_paths_agree(ray_session):
+    """The distributed label-propagation + partitioned-join path of the
+    keep-best census equals the driver union-find path."""
+    from kawa_ray.pipelines.docs import minhash_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    driver = minhash_keep_best(sf)
+    distributed = minhash_keep_best(sf, driver_threshold=0)
+    assert driver.reset_index(drop=True).equals(distributed.reset_index(drop=True))
