@@ -66,6 +66,28 @@ def cmd_link(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    ray = _ray_up(args.num_cpus)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from kawa_ray.pipelines.clean_corpus import clean_corpus
+
+    t0 = time.time()
+    res = clean_corpus(args.sf_dir, out_root=args.out, n_shards=args.n_shards)
+    summary = {
+        "mode": "clean",
+        "out": res["out_root"],
+        "census": {r["lang"]: int(r["n_kept"])
+                   for _, r in res["census"].iterrows()},
+        "skew": res["manifest"].get("skew", {}),
+        "seconds": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="kawa_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -78,6 +100,14 @@ def main(argv=None) -> int:
     link.add_argument("--num-cpus", type=int, default=None,
                       help="local-mode CPU cap (omit on a real cluster)")
     link.set_defaults(fn=cmd_link)
+    clean = sub.add_parser(
+        "clean", help="materialize the quality-filtered corpus (resumable)")
+    clean.add_argument("--sf-dir", required=True,
+                       help="input dir containing documents.parquet")
+    clean.add_argument("--out", default=None, help="output root (default /tmp)")
+    clean.add_argument("--n-shards", type=int, default=8)
+    clean.add_argument("--num-cpus", type=int, default=None)
+    clean.set_defaults(fn=cmd_clean)
     args = ap.parse_args(argv)
     return args.fn(args)
 
