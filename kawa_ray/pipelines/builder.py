@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -329,3 +329,183 @@ SELECT user_id,
 FROM s3
 ORDER BY user_id
 """
+
+
+# ------------------------------------------- iterative graph algorithm: PageRank
+
+def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
+                  partitions: int = 64, k: int = 10):
+    """Integer-discretised PageRank (d = 0.85 = 17/20) over the user
+    co-occurrence graph (same buckets as ``user_components``; edges =
+    distinct in-bucket pairs, buckets above ``max_members`` users
+    skipped — the hot-key cap, mirrored in the oracle).  All arithmetic
+    is BIGINT: pr0 = 1e9 // N and each contribution is
+    ``(17 * pr(v)) // (20 * deg(v))`` floored BEFORE the (order-free)
+    integer sum, so two engines agree bit-for-bit and the fixed
+    ``iterations`` unroll into SQL CTEs.  No dangling-mass
+    redistribution (documented deviation from the classic formulation;
+    isolated users keep the teleport term).  Each iteration is two
+    hash-partitioned shuffles (contribute, then sum) — the label-
+    propagation shape, no driver-held graph.  Returns top-``k`` users
+    by (pr desc, user_id asc)."""
+    from kawa_ray.functions.minhash import hash64
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        hour = pc.hour(t.column("ts"))
+        salt = pc.cast(
+            pc.subtract(t.column("user_id"),
+                        pc.multiply(pc.divide(t.column("user_id"), 7), 7)),
+            pa.string())
+        bucket = pc.binary_join_element_wise(
+            t.column("event_type"), pc.cast(hour, pa.string()), salt, "#")
+        return pa.table({"user_id": pc.cast(t.column("user_id"), pa.int64()),
+                         "bucket": bucket})
+
+    def clique_edges(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out_a, out_b = [], []
+        for _, grp in g.groupby("bucket", sort=False):
+            ids = np.unique(grp["user_id"].to_numpy(np.int64))
+            if len(ids) < 2 or len(ids) > max_members:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            out_a += ids[ai].tolist()
+            out_b += ids[bi].tolist()
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    ub = (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .map_batches(lambda t: t.group_by(["user_id", "bucket"]).aggregate([]),
+                     batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(clique_edges, batch_format="pandas")
+    )
+    # exact distinct edges (in-bucket distinct already; dedup across buckets)
+    edges = ub.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).materialize()
+    adj = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "node": pd.concat([df["a"], df["b"]], ignore_index=True).astype("int64"),
+            "nbr": pd.concat([df["b"], df["a"]], ignore_index=True).astype("int64"),
+        }),
+        batch_format="pandas",
+    ).materialize()
+
+    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    n = len(users)
+    base = (15 * 1_000_000_000) // (20 * n)
+    pr = rd.from_pandas(pd.DataFrame({
+        "node": sorted(int(u) for u in users),
+        "pr": 1_000_000_000 // n})).materialize()
+
+    for _ in range(iterations):
+        pr_rows = pr.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
+                                     "nbr": -1, "pr": df["pr"].astype("int64")}),
+            batch_format="pandas")
+        adj_rows = adj.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "nbr": df["nbr"],
+                                     "pr": -1}),
+            batch_format="pandas")
+
+        def contribute(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, grp in g.groupby("node", sort=False):
+                nbrs = grp.loc[grp["nbr"] >= 0, "nbr"]
+                prv = grp.loc[grp["nbr"] < 0, "pr"]
+                d = len(nbrs)
+                if d == 0 or prv.empty:
+                    continue
+                c = (17 * int(prv.iloc[0])) // (20 * d)
+                out.append(pd.DataFrame({"u": nbrs.to_numpy(), "c": c}))
+            if not out:
+                return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                     "c": pd.Series(dtype="int64")})
+            return pd.concat(out, ignore_index=True)
+
+        contribs = (
+            pr_rows.union(adj_rows)
+            .map_batches(lambda df: df.assign(
+                part=df["node"].to_numpy() % partitions), batch_format="pandas")
+            .groupby("part")
+            .map_groups(contribute, batch_format="pandas")
+        )
+        base_rows = pr.map_batches(
+            lambda df: pd.DataFrame({"u": df["node"].astype("int64"),
+                                     "c": base}),
+            batch_format="pandas")
+        pr = (
+            contribs.union(base_rows)
+            .map_batches(lambda df: df.assign(
+                part=df["u"].to_numpy() % partitions), batch_format="pandas")
+            .groupby("part")
+            .map_groups(
+                lambda g: g.groupby("u", as_index=False)["c"].sum().rename(
+                    columns={"u": "node", "c": "pr"}),
+                batch_format="pandas")
+            .materialize()
+        )
+
+    out = pr.to_pandas()
+    out = out.sort_values(["pr", "node"], ascending=[False, True]).head(k)
+    out = out.rename(columns={"node": "user_id", "pr": "pr_nano"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["pr_nano"] = out["pr_nano"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _pagerank_sql(iterations: int = 2, max_members: int = 200, k: int = 10) -> str:
+    it_ctes = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        it_ctes.append(f"""c{i} AS (
+  SELECT adj.nbr AS node,
+         CAST(SUM((17 * {prev}.pr) // (20 * deg.d)) AS BIGINT) AS s
+  FROM adj
+  JOIN {prev} ON {prev}.node = adj.node
+  JOIN deg ON deg.node = adj.node
+  GROUP BY adj.nbr
+), pr{i} AS (
+  SELECT users.u AS node,
+         CAST(15 AS BIGINT) * 1000000000 // (20 * n.n) + COALESCE(c{i}.s, 0) AS pr
+  FROM users CROSS JOIN n
+  LEFT JOIN c{i} ON c{i}.node = users.u
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH ub AS (
+  SELECT DISTINCT user_id,
+         event_type || '#' || CAST(date_part('hour', ts) AS VARCHAR)
+                    || '#' || CAST(user_id % 7 AS VARCHAR) AS bucket
+  FROM events
+), bsize AS (
+  SELECT bucket, COUNT(*) AS m FROM ub GROUP BY 1
+), edges AS (
+  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+  FROM ub a
+  JOIN ub b USING (bucket)
+  JOIN bsize USING (bucket)
+  WHERE a.user_id < b.user_id AND bsize.m BETWEEN 2 AND {max_members}
+), adj AS (
+  SELECT a AS node, b AS nbr FROM edges
+  UNION ALL SELECT b, a FROM edges
+), users AS (
+  SELECT DISTINCT user_id AS u FROM events
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+), pr0 AS (
+  SELECT u AS node, CAST(1000000000 AS BIGINT) // n.n AS pr FROM users CROSS JOIN n
+), {", ".join(it_ctes)}
+SELECT node AS user_id, pr AS pr_nano
+FROM pr{iterations}
+ORDER BY pr DESC, user_id ASC
+LIMIT {k}
+"""
+
+
+USER_PAGERANK_SQL = _pagerank_sql()

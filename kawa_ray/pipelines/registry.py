@@ -194,6 +194,8 @@ EXTRA_QUERIES = {
     "events_rolling_max": relational.events_rolling_max,
     # near-dup representative selection (keep longest per cluster)
     "minhash_keep_best": docs.minhash_keep_best,
+    # iterative graph algorithm: integer-discretised PageRank
+    "user_pagerank": builder.user_pagerank,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -226,6 +228,7 @@ EXTRA_ORACLE_SQL = {
     "docs_clean_write": clean_corpus.DOCS_CLEAN_WRITE_SQL,
     "source_divergence": mixtures.SOURCE_DIVERGENCE_SQL,
     "minhash_keep_best": docs.MINHASH_KEEP_BEST_SQL,
+    "user_pagerank": builder.USER_PAGERANK_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
