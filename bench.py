@@ -109,6 +109,8 @@ def run_bench() -> dict:
             ("bm25_topk", bm25.bm25_topk),
             ("lm_perplexity_scores", lm_quality.lm_perplexity_scores),
             ("customers_without_big_orders", relational.customers_without_big_orders),
+            ("minhash_keep_best", docs.minhash_keep_best),
+            ("user_pagerank", builder.user_pagerank),
         ):
             t = time.time()
             fn(sf_dir)

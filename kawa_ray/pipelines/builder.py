@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -334,7 +334,7 @@ ORDER BY user_id
 # ------------------------------------------- iterative graph algorithm: PageRank
 
 def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
-                  partitions: int = 64, k: int = 10):
+                  k: int = 10):
     """Integer-discretised PageRank (d = 0.85 = 17/20) over the user
     co-occurrence graph (same buckets as ``user_components``; edges =
     distinct in-bucket pairs, buckets above ``max_members`` users
@@ -344,12 +344,17 @@ def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
     integer sum, so two engines agree bit-for-bit and the fixed
     ``iterations`` unroll into SQL CTEs.  No dangling-mass
     redistribution (documented deviation from the classic formulation;
-    isolated users keep the teleport term).  Each iteration is two
-    hash-partitioned shuffles (contribute, then sum) — the label-
-    propagation shape, no driver-held graph.  Returns top-``k`` users
-    by (pr desc, user_id asc)."""
-    from kawa_ray.functions.minhash import hash64
+    isolated users keep the teleport term).
 
+    Execution shape: the EDGE stream never leaves the workers — each
+    iteration is one streaming ``map_batches`` over the adjacency rows
+    with the pr/deg NODE table broadcast via ``ray.put`` (PageRank's
+    node table is the broadcastable state — 16 bytes/node; the
+    all-shuffle label-propagation variant is the fallback if the node
+    table outgrows a worker, at ~4 extra sorts per iteration it is
+    strictly worse until then), per-batch partial sums folding on the
+    driver (node-space bounded).  Returns top-``k`` users by
+    (pr desc, user_id asc)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
     def buckets(t: pa.Table) -> pa.Table:
@@ -384,8 +389,24 @@ def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
         .groupby("bucket")
         .map_groups(clique_edges, batch_format="pandas")
     )
-    # exact distinct edges (in-bucket distinct already; dedup across buckets)
-    edges = ub.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).materialize()
+    # exact distinct edges (in-bucket distinct already; dedup across
+    # buckets) via hash-partition + in-batch drop_duplicates — a Ray
+    # multi-key aggregate pays ~2 ms per DISTINCT KEY (160k edge keys
+    # measured 345 s at sf0.1), the partition+pandas form pays per
+    # partition instead.  Symmetrised into adjacency rows once, kept
+    # materialised across iterations.
+    P = 64
+    edges = (
+        ub.map_batches(
+            lambda df: df.assign(
+                part=(df["a"].to_numpy("int64") * 1_000_003
+                      + df["b"].to_numpy("int64")) % P),
+            batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+                    batch_format="pandas")
+        .materialize()
+    )
     adj = edges.map_batches(
         lambda df: pd.DataFrame({
             "node": pd.concat([df["a"], df["b"]], ignore_index=True).astype("int64"),
@@ -394,64 +415,42 @@ def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
         batch_format="pandas",
     ).materialize()
 
-    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    # degree table: per-batch partial counts fold on the driver
+    deg: dict[int, int] = {}
+    for b in adj.map_batches(
+            lambda df: df.groupby("node", as_index=False).size().rename(
+                columns={"size": "d"}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        for node, d in zip(b["node"], b["d"]):
+            deg[int(node)] = deg.get(int(node), 0) + int(d)
+
+    users = sorted(int(u) for u in _read(sf_dir, "events", ["user_id"]).unique("user_id"))
     n = len(users)
     base = (15 * 1_000_000_000) // (20 * n)
-    pr = rd.from_pandas(pd.DataFrame({
-        "node": sorted(int(u) for u in users),
-        "pr": 1_000_000_000 // n})).materialize()
+    pr = {u: 1_000_000_000 // n for u in users}
 
     for _ in range(iterations):
-        pr_rows = pr.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
-                                     "nbr": -1, "pr": df["pr"].astype("int64")}),
-            batch_format="pandas")
-        adj_rows = adj.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "nbr": df["nbr"],
-                                     "pr": -1}),
-            batch_format="pandas")
+        state_ref = ray.put((pr, deg))
 
-        def contribute(g: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _, grp in g.groupby("node", sort=False):
-                nbrs = grp.loc[grp["nbr"] >= 0, "nbr"]
-                prv = grp.loc[grp["nbr"] < 0, "pr"]
-                d = len(nbrs)
-                if d == 0 or prv.empty:
-                    continue
-                c = (17 * int(prv.iloc[0])) // (20 * d)
-                out.append(pd.DataFrame({"u": nbrs.to_numpy(), "c": c}))
-            if not out:
-                return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                                     "c": pd.Series(dtype="int64")})
-            return pd.concat(out, ignore_index=True)
+        def contribute(df: pd.DataFrame, _ref=state_ref) -> pd.DataFrame:
+            pr_t, deg_t = ray.get(_ref)
+            node = df["node"].to_numpy("int64")
+            # vectorised gathers through pandas int64 hash maps
+            prv = pd.Series(node).map(pr_t).to_numpy("int64")
+            dv = pd.Series(node).map(deg_t).to_numpy("int64")
+            c = (17 * prv) // (20 * dv)
+            out = pd.DataFrame({"u": df["nbr"].to_numpy("int64"), "c": c})
+            return out.groupby("u", as_index=False)["c"].sum()
 
-        contribs = (
-            pr_rows.union(adj_rows)
-            .map_batches(lambda df: df.assign(
-                part=df["node"].to_numpy() % partitions), batch_format="pandas")
-            .groupby("part")
-            .map_groups(contribute, batch_format="pandas")
-        )
-        base_rows = pr.map_batches(
-            lambda df: pd.DataFrame({"u": df["node"].astype("int64"),
-                                     "c": base}),
-            batch_format="pandas")
-        pr = (
-            contribs.union(base_rows)
-            .map_batches(lambda df: df.assign(
-                part=df["u"].to_numpy() % partitions), batch_format="pandas")
-            .groupby("part")
-            .map_groups(
-                lambda g: g.groupby("u", as_index=False)["c"].sum().rename(
-                    columns={"u": "node", "c": "pr"}),
-                batch_format="pandas")
-            .materialize()
-        )
+        sums: dict[int, int] = {}
+        for b in adj.map_batches(contribute, batch_format="pandas").iter_batches(
+                batch_format="pandas"):
+            for u, c in zip(b["u"], b["c"]):
+                sums[int(u)] = sums.get(int(u), 0) + int(c)
+        pr = {u: base + sums.get(u, 0) for u in users}
 
-    out = pr.to_pandas()
-    out = out.sort_values(["pr", "node"], ascending=[False, True]).head(k)
-    out = out.rename(columns={"node": "user_id", "pr": "pr_nano"})
+    out = pd.DataFrame({"user_id": list(pr), "pr_nano": list(pr.values())})
+    out = out.sort_values(["pr_nano", "user_id"], ascending=[False, True]).head(k)
     out["user_id"] = out["user_id"].astype("int64")
     out["pr_nano"] = out["pr_nano"].astype("int64")
     return out.reset_index(drop=True)
