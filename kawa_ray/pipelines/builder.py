@@ -426,7 +426,7 @@ def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
 
     users = sorted(int(u) for u in _read(sf_dir, "events", ["user_id"]).unique("user_id"))
     n = len(users)
-    base = (15 * 1_000_000_000) // (20 * n)
+    base = (3 * 1_000_000_000) // (20 * n)  # (1-d) = 3/20
     pr = {u: 1_000_000_000 // n for u in users}
 
     for _ in range(iterations):
@@ -469,7 +469,7 @@ def _pagerank_sql(iterations: int = 2, max_members: int = 200, k: int = 10) -> s
   GROUP BY adj.nbr
 ), pr{i} AS (
   SELECT users.u AS node,
-         CAST(15 AS BIGINT) * 1000000000 // (20 * n.n) + COALESCE(c{i}.s, 0) AS pr
+         CAST(3 AS BIGINT) * 1000000000 // (20 * n.n) + COALESCE(c{i}.s, 0) AS pr
   FROM users CROSS JOIN n
   LEFT JOIN c{i} ON c{i}.node = users.u
 )""")
