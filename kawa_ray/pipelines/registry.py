@@ -27,7 +27,12 @@ from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, embed_merge, e
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
-from kawa_ray.sources.ntriples import NTRIPLES_CENSUS_SQL, ntriples_census
+from kawa_ray.sources.ntriples import (
+    JSONL_ROUNDTRIP_SQL,
+    NTRIPLES_CENSUS_SQL,
+    jsonl_roundtrip_census,
+    ntriples_census,
+)
 from kawa_ray.state.multilingual_map import MULTILINGUAL_MAP_SQL, multilingual_map
 
 QUERIES = {
@@ -197,8 +202,9 @@ EXTRA_QUERIES = {
     "minhash_keep_best": docs.minhash_keep_best,
     # iterative graph algorithm: integer-discretised PageRank
     "user_pagerank": builder.user_pagerank,
-    # gzipped N-triples source round-trip (B6 format parity)
+    # gzipped N-triples + JSONL source round-trips (format parity)
     "ntriples_census": ntriples_census,
+    "jsonl_roundtrip_census": jsonl_roundtrip_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -233,6 +239,7 @@ EXTRA_ORACLE_SQL = {
     "minhash_keep_best": docs.MINHASH_KEEP_BEST_SQL,
     "user_pagerank": builder.USER_PAGERANK_SQL,
     "ntriples_census": NTRIPLES_CENSUS_SQL,
+    "jsonl_roundtrip_census": JSONL_ROUNDTRIP_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

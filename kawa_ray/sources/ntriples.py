@@ -97,3 +97,75 @@ FROM toks
 GROUP BY token
 ORDER BY token
 """
+
+
+# ----------------------------------------------------- gzipped JSONL source
+
+def write_fixture_jsonl(sf_dir: str, path: str) -> str:
+    """Serialise the events table as gzipped JSONL (one object per
+    line), skip-if-built."""
+    import json
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "event_type", "value"])
+    tmp = f"{path}.tmp{os.getpid()}"
+    with gzip.open(tmp, "wt", encoding="utf-8") as f:
+        for r in t.to_pylist():
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def jsonl_roundtrip_census(sf_dir: str):
+    """Gzipped-JSONL round-trip with an exact oracle: events are
+    serialised once per process as ``.jsonl.gz``, read back with
+    ``ray.data.read_json`` (line-splittable, worker-sharded), and
+    censused per event type (count, distinct users, value total in
+    integer cents — floored per event BEFORE the order-free integer
+    sum); the DuckDB oracle recomputes the census from the original
+    table, so any row or field lost in the round trip breaks the
+    match."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = write_fixture_jsonl(sf_dir, f"/tmp/kawa_ray_nt/{base}/events.jsonl.gz")
+    ds = rd.read_json(path)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.assign(cents=np.floor(
+            df["value"].to_numpy("float64") * 100.0).astype("int64"))
+        g = df.groupby("event_type").agg(
+            n=("event_id", "size"),
+            value_cents=("cents", "sum"),
+            users=("user_id", lambda s: set(int(x) for x in s)),
+        ).reset_index()
+        return g
+
+    n: dict[str, int] = {}
+    vs: dict[str, int] = {}
+    us: dict[str, set] = {}
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for et, cnt, v, uu in zip(b["event_type"], b["n"], b["value_cents"], b["users"]):
+            n[et] = n.get(et, 0) + int(cnt)
+            vs[et] = vs.get(et, 0) + int(v)
+            us.setdefault(et, set()).update(uu)
+    out = pd.DataFrame(
+        [(et, n[et], len(us[et]), vs[et]) for et in sorted(n)],
+        columns=["event_type", "n", "n_users", "value_cents"])
+    for c in ("n", "n_users", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
