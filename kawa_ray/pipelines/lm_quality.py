@@ -100,28 +100,37 @@ def lm_perplexity_scores(sf_dir: str,
     w2i = {w: i for i, w in enumerate(vocab)}
     unk = len(vocab)                     # <unk> id
     vs = len(vocab)
-    mat = np.zeros((vs + 1, vs + 1), dtype=np.int64)
-    for (p, cu), c in bigram_c.items():
-        mat[w2i[p], w2i[cu]] = c
-    cprev = mat.sum(axis=1)
-    # Pre-discretised cost table, built with math.log (glibc, the same
-    # libm DuckDB's LN uses — numpy's SIMD log can differ by 1 ulp).
-    # Same size class as the count matrix (it IS the model artifact);
-    # the scoring hot path is then a pure integer gather.
+    cprev = np.zeros(vs + 1, dtype=np.int64)
+    for (p, _cu), c in bigram_c.items():
+        cprev[w2i[p]] += c
+    # Pre-discretised SPARSE cost model, built with math.log (glibc,
+    # the same libm DuckDB's LN uses — numpy's SIMD log can differ by
+    # 1 ulp).  An unseen bigram's cost depends only on its PREV token
+    # (c = 0), so the model is one default array (V+1 entries) plus a
+    # dict override per SEEN bigram — the same memory class as the
+    # count table itself, never (V+1)^2 (a real vocabulary would make
+    # the dense matrix impossible).  The scoring hot path stays a pure
+    # integer gather + a hash-map override on seen pairs.
     import math
 
-    tab = np.empty((vs + 1, vs + 1), dtype=np.int64)
+    default = np.empty(vs + 1, dtype=np.int64)
     for p in range(vs + 1):
-        dp = cprev[p] + vs + 1.0
-        tab[p] = [math.floor(-math.log((c + 1.0) / dp) * 1_000_000.0)
-                  for c in mat[p]]
-    model_ref = ray.put((w2i, unk, tab))
+        default[p] = math.floor(
+            -math.log(1.0 / (cprev[p] + vs + 1.0)) * 1_000_000.0)
+    seen = sorted(
+        (w2i[p] * (vs + 1) + w2i[cu],
+         math.floor(-math.log((c + 1.0) / (cprev[w2i[p]] + vs + 1.0))
+                    * 1_000_000.0))
+        for (p, cu), c in bigram_c.items())
+    seen_keys = np.fromiter((k for k, _ in seen), dtype=np.int64, count=len(seen))
+    seen_vals = np.fromiter((v for _, v in seen), dtype=np.int64, count=len(seen))
+    model_ref = ray.put((w2i, unk, vs, default, seen_keys, seen_vals))
 
     # ---- scoring pass over every document: stateless task, the model
     # table arrives via a plasma-local ray.get per batch (free after the
     # first fetch per worker; the stage scales to every CPU)
     def score(df: pd.DataFrame, _ref=model_ref) -> pd.DataFrame:
-        w2i, unk_id, tab = ray.get(_ref)
+        w2i, unk_id, vs_t, default, seen_keys, seen_vals = ray.get(_ref)
         df = df.reset_index(drop=True)
         flat, lens = _split(df["text"])
         # vocab-id mapping through the batch VOCABULARY (factorize
@@ -138,7 +147,15 @@ def lm_perplexity_scores(sf_dir: str,
                 if codes.size > 1 else np.zeros(0, bool))
         prev, cur = codes[:-1][same], codes[1:][same]
         d = doc_idx[:-1][same]
-        micro = tab[prev, cur]
+        micro = default[prev].copy()
+        key = prev * (vs_t + 1) + cur
+        # vectorised sparse override: binary-search the sorted seen-
+        # bigram keys (model-sized), patch matching positions
+        if seen_keys.size:
+            idx = np.searchsorted(seen_keys, key)
+            idx_c = np.minimum(idx, seen_keys.size - 1)
+            hit = seen_keys[idx_c] == key
+            micro[hit] = seen_vals[idx_c[hit]]
         ndocs = len(df)
         s = np.bincount(d, weights=micro, minlength=ndocs).astype(np.int64)
         npos = np.bincount(d, minlength=ndocs).astype(np.int64)
