@@ -164,10 +164,12 @@ def pack_sequences_plan(sf_dir: str, seq_len: int = 512, range_size: int = 4096,
 
     The global prefix sum is reconstructed distributedly: pass 1 folds
     per-range token sums (range = doc_id // range_size) into range
-    offsets on the driver (bounded: one int per range); pass 2 shuffles
-    doc rows by range bucket and computes each doc's global start as
-    range_offset + in-range prefix — no stage ever sees the whole
-    stream, and the only shuffle is the range-bucket hash partition."""
+    offsets on the driver (one int per range — size the driver table
+    with ``range_size``: at 10^12 docs, range_size=10^6 keeps it at
+    10^6 offsets); pass 2 shuffles doc rows by range bucket and
+    computes each doc's global start as range_offset + in-range prefix
+    — no stage ever sees the whole stream, and the only shuffle is the
+    range-bucket hash partition."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
