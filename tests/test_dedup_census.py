@@ -73,3 +73,17 @@ def test_keep_best_paths_agree(ray_session):
     driver = minhash_keep_best(sf)
     distributed = minhash_keep_best(sf, driver_threshold=0)
     assert driver.reset_index(drop=True).equals(distributed.reset_index(drop=True))
+
+
+def test_keep_best_consistent_with_census(ray_session):
+    """Cross-operator invariant: representative selection drops exactly
+    the census's duplicate count (members - clusters), computed by two
+    independent pipelines."""
+    from kawa_ray.pipelines.docs import minhash_dedup_docs, minhash_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    census = minhash_dedup_docs(sf)
+    kb = minhash_keep_best(sf)
+    assert int(kb["n_members"].sum() - kb["n_kept"].sum()) == int(
+        census["n_duplicates"].iloc[0])
+    assert int(kb["n_dropped"].sum()) == int(census["n_duplicates"].iloc[0])
