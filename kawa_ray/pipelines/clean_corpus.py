@@ -142,3 +142,70 @@ ORDER BY per_doc.lang
 
 
 DOCS_CLEAN_WRITE_SQL = _clean_census_sql()
+
+
+def docs_clean_dedup_census(sf_dir: str):
+    """Composed cleaning pipeline: Gopher-filter (same predicate as the
+    write pipeline) THEN exact dedup (keep min doc_id per content hash),
+    censused per language — the operators chain as plain Dataset
+    transforms, and the single SQL oracle covers the composition."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from kawa_ray.functions.minhash import hash64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"])
+
+    def filter_and_fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        out = df[_keep_mask(df).to_numpy()].copy()
+        out["fingerprint"] = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                              for s in out["text"]]
+        out["part"] = [hash64(f) % 64 for f in out["fingerprint"]]
+        return out[["doc_id", "lang", "fingerprint", "part"]]
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("fingerprint")
+        return g.groupby("lang", as_index=False).size().rename(
+            columns={"size": "n"})
+
+    out = (
+        ds.map_batches(filter_and_fingerprint, batch_format="pandas")
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_survivors"))
+        .to_pandas()
+    )
+    out["n_survivors"] = out["n_survivors"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _clean_dedup_sql() -> str:
+    from kawa_ray.pipelines.textqual import _REP_METRICS, _rep_stats_sql
+
+    base = _rep_stats_sql()
+    head = base[: base.rindex("SELECT lang, COUNT(*) AS n_docs")]
+    passes = " AND ".join(
+        f"{kind}{n}_micro <= {thr}" for kind, n, thr in _REP_METRICS)
+    return head + f""", kept AS (
+  SELECT per_doc.doc_id, per_doc.lang, toks.t
+  FROM per_doc
+  JOIN toks ON toks.doc_id = per_doc.doc_id
+  WHERE {passes} AND LEN(toks.t) >= {_MIN_TOKENS}
+)
+SELECT lang, COUNT(*) AS n_survivors
+FROM (
+  SELECT ARG_MIN(k.lang, k.doc_id) AS lang
+  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+  GROUP BY MD5(d.text)
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+DOCS_CLEAN_DEDUP_SQL = _clean_dedup_sql()

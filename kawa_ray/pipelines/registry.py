@@ -205,6 +205,8 @@ EXTRA_QUERIES = {
     # gzipped N-triples + JSONL source round-trips (format parity)
     "ntriples_census": ntriples_census,
     "jsonl_roundtrip_census": jsonl_roundtrip_census,
+    # composed quality-filter -> exact-dedup chain under one oracle
+    "docs_clean_dedup_census": clean_corpus.docs_clean_dedup_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -240,6 +242,7 @@ EXTRA_ORACLE_SQL = {
     "user_pagerank": builder.USER_PAGERANK_SQL,
     "ntriples_census": NTRIPLES_CENSUS_SQL,
     "jsonl_roundtrip_census": JSONL_ROUNDTRIP_SQL,
+    "docs_clean_dedup_census": clean_corpus.DOCS_CLEAN_DEDUP_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
