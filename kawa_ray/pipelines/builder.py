@@ -390,23 +390,13 @@ def user_pagerank(sf_dir: str, iterations: int = 2, max_members: int = 200,
         .map_groups(clique_edges, batch_format="pandas")
     )
     # exact distinct edges (in-bucket distinct already; dedup across
-    # buckets) via hash-partition + in-batch drop_duplicates — a Ray
-    # multi-key aggregate pays ~2 ms per DISTINCT KEY (160k edge keys
-    # measured 345 s at sf0.1), the partition+pandas form pays per
-    # partition instead.  Symmetrised into adjacency rows once, kept
-    # materialised across iterations.
-    P = 64
-    edges = (
-        ub.map_batches(
-            lambda df: df.assign(
-                part=(df["a"].to_numpy("int64") * 1_000_003
-                      + df["b"].to_numpy("int64")) % P),
-            batch_format="pandas")
-        .groupby("part")
-        .map_groups(lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
-                    batch_format="pandas")
-        .materialize()
-    )
+    # buckets) via the shared partitioned distinct (stages/distinct.py —
+    # a Ray multi-key aggregate pays per DISTINCT KEY: 160k edge keys
+    # measured 345 s at sf0.1).  Symmetrised into adjacency rows once,
+    # kept materialised across iterations.
+    from kawa_ray.stages.distinct import partition_distinct
+
+    edges = partition_distinct(ub, ["a", "b"], key_col="a").materialize()
     adj = edges.map_batches(
         lambda df: pd.DataFrame({
             "node": pd.concat([df["a"], df["b"]], ignore_index=True).astype("int64"),

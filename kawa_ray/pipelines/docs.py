@@ -106,18 +106,16 @@ def doc_fingerprints(sf_dir: str):
         df["fingerprint"] = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in df["text"]]
         return pa.Table.from_pandas(df[["lang", "fingerprint"]], preserve_index=False)
 
-    # distinct via hash-partition + in-batch pandas (a Ray multi-key
-    # aggregate pays per DISTINCT KEY — doc-cardinality keys here)
+    # distinct via the shared partitioned distinct (stages/distinct.py)
+    # with a fused per-lang partial count — doc-cardinality keys
+    from kawa_ray.stages.distinct import partition_distinct
+
     out = (
-        ds.map_batches(fp, batch_format="pyarrow")
-        .map_batches(
-            lambda df: df.assign(part=[hash64(f) % 64 for f in df["fingerprint"]]),
-            batch_format="pandas")
-        .groupby("part")
-        .map_groups(
-            lambda g: g.drop_duplicates(["lang", "fingerprint"]).groupby(
-                "lang", as_index=False).size().rename(columns={"size": "n"}),
-            batch_format="pandas")
+        partition_distinct(
+            ds.map_batches(fp, batch_format="pyarrow"),
+            ["lang", "fingerprint"], key_col="fingerprint",
+            then=lambda g: g.groupby("lang", as_index=False).size().rename(
+                columns={"size": "n"}))
         .groupby("lang")
         .aggregate(Sum("n", alias_name="n_distinct"))
         .to_pandas()
@@ -1079,20 +1077,18 @@ def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
                    Sum("n_fps", alias_name="n_fingerprints"))
         .to_pandas()
     )
-    # distinct via fp-hash partition + in-batch pandas drop_duplicates
-    # (keeps the round-2 two-stage shape — no single-language group —
-    # while avoiding Ray's per-distinct-key aggregate cost at
-    # fingerprint cardinality)
+    # distinct via the shared partitioned distinct (stages/distinct.py)
+    # with a fused per-lang partial count (keeps the round-2 two-stage
+    # shape — no single-language group — without Ray's per-distinct-key
+    # aggregate cost at fingerprint cardinality)
+    from kawa_ray.stages.distinct import partition_distinct
+
     distinct = (
-        mixed.map_batches(keep("f"), batch_format="pyarrow")
-        .map_batches(
-            lambda df: df.assign(part=df["fp"].to_numpy("int64") % 64),
-            batch_format="pandas")
-        .groupby("part")
-        .map_groups(
-            lambda g: g.drop_duplicates(["lang", "fp"]).groupby(
-                "lang", as_index=False).size().rename(columns={"size": "n"}),
-            batch_format="pandas")
+        partition_distinct(
+            mixed.map_batches(keep("f"), batch_format="pyarrow"),
+            ["lang", "fp"], key_col="fp",
+            then=lambda g: g.groupby("lang", as_index=False).size().rename(
+                columns={"size": "n"}))
         .groupby("lang")
         .aggregate(Sum("n", alias_name="n_distinct"))
         .to_pandas()

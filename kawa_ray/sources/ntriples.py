@@ -31,14 +31,37 @@ import ray.data as rd
 _LINE = re.compile(r'^<part/(\d+)> <hasTypeToken> "([^"]*)" \.$')
 
 
+def _fixture_fresh(path: str, src: str) -> bool:
+    """A fixture is reusable only if its marker records the CURRENT
+    source identity — a regenerated source parquet must rebuild it
+    (stale fixtures would silently desync pipeline from oracle)."""
+    import json
+
+    marker = f"{path}.src.json"
+    ident = {"src": os.path.abspath(src), "mtime": os.path.getmtime(src)}
+    if os.path.exists(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == ident:
+                return True
+    return False
+
+
+def _write_fixture_marker(path: str, src: str) -> None:
+    import json
+
+    with open(f"{path}.src.json", "w") as f:
+        json.dump({"src": os.path.abspath(src),
+                   "mtime": os.path.getmtime(src)}, f)
+
+
 def write_fixture_ntriples(sf_dir: str, path: str) -> str:
     """Serialise part.p_type tokens as N-triples, gzipped; skip-if-built
-    (keyed on the source file's identity via the path)."""
-    if os.path.exists(path):
+    keyed on the source parquet's identity (path + mtime)."""
+    src = os.path.join(sf_dir, "part.parquet")
+    if _fixture_fresh(path, src):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
-                      columns=["p_partkey", "p_type"])
+    t = pq.read_table(src, columns=["p_partkey", "p_type"])
     lines = []
     for key, ptype in zip(t.column("p_partkey").to_pylist(),
                           t.column("p_type").to_pylist()):
@@ -48,12 +71,18 @@ def write_fixture_ntriples(sf_dir: str, path: str) -> str:
     with gzip.open(tmp, "wt", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     os.replace(tmp, path)
+    _write_fixture_marker(path, src)
     return path
 
 
 def ntriples_census(sf_dir: str):
     """Per-object-token census of the round-tripped triples:
-    (token, n_triples, n_subjects)."""
+    (token, n_triples, n_subjects).  Distinct (token, subject) pairs —
+    triple-cardinality, NOT vocabulary-sized — go through the shared
+    hash-partition distinct; only per-token partial counts reach the
+    driver fold."""
+    from kawa_ray.stages.distinct import partition_distinct
+
     base = os.path.basename(os.path.normpath(sf_dir))
     path = write_fixture_ntriples(sf_dir, f"/tmp/kawa_ray_nt/{base}/part_types.nt.gz")
     lines = rd.read_text(path)
@@ -63,23 +92,32 @@ def ntriples_census(sf_dir: str):
         m.columns = ["subject", "token"]
         m = m.dropna()
         m["subject"] = m["subject"].astype("int64")
-        # per-batch partial: triple counts + distinct subjects per token
-        g = m.groupby("token").agg(
-            n_triples=("subject", "size"),
-            subjects=("subject", lambda s: set(s)),
-        ).reset_index()
-        return g
+        return m
 
-    # driver fold (token-vocabulary sized — tiny)
+    parsed = lines.map_batches(parse, batch_format="pandas").materialize()
+
+    # total triples per token: per-batch partials, driver fold (vocab-sized)
     n_tri: dict[str, int] = {}
-    subs: dict[str, set] = {}
-    for b in lines.map_batches(parse, batch_format="pandas").iter_batches(
-            batch_format="pandas"):
-        for tok, nt, ss in zip(b["token"], b["n_triples"], b["subjects"]):
+    for b in parsed.map_batches(
+            lambda df: df.groupby("token", as_index=False).size().rename(
+                columns={"size": "n"}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        for tok, nt in zip(b["token"], b["n"]):
             n_tri[tok] = n_tri.get(tok, 0) + int(nt)
-            subs.setdefault(tok, set()).update(ss)
+
+    # distinct subjects per token: partitioned distinct with a fused
+    # per-token partial count, then a vocab-sized driver fold
+    n_sub: dict[str, int] = {}
+    distinct_counts = partition_distinct(
+        parsed, ["token", "subject"], key_col="subject",
+        then=lambda g: g.groupby("token", as_index=False).size().rename(
+            columns={"size": "n"}))
+    for b in distinct_counts.iter_batches(batch_format="pandas"):
+        for tok, ns in zip(b["token"], b["n"]):
+            n_sub[tok] = n_sub.get(tok, 0) + int(ns)
+
     out = pd.DataFrame(
-        [(t, n_tri[t], len(subs[t])) for t in sorted(n_tri)],
+        [(t, n_tri[t], n_sub.get(t, 0)) for t in sorted(n_tri)],
         columns=["token", "n_triples", "n_subjects"])
     for c in ("n_triples", "n_subjects"):
         out[c] = out[c].astype("int64")
@@ -103,19 +141,20 @@ ORDER BY token
 
 def write_fixture_jsonl(sf_dir: str, path: str) -> str:
     """Serialise the events table as gzipped JSONL (one object per
-    line), skip-if-built."""
+    line); skip-if-built keyed on the source parquet's identity."""
     import json
 
-    if os.path.exists(path):
+    src = os.path.join(sf_dir, "events.parquet")
+    if _fixture_fresh(path, src):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                      columns=["event_id", "user_id", "event_type", "value"])
+    t = pq.read_table(src, columns=["event_id", "user_id", "event_type", "value"])
     tmp = f"{path}.tmp{os.getpid()}"
     with gzip.open(tmp, "wt", encoding="utf-8") as f:
         for r in t.to_pylist():
             f.write(json.dumps(r, sort_keys=True) + "\n")
     os.replace(tmp, path)
+    _write_fixture_marker(path, src)
     return path
 
 
@@ -132,6 +171,8 @@ def jsonl_roundtrip_census(sf_dir: str):
     path = write_fixture_jsonl(sf_dir, f"/tmp/kawa_ray_nt/{base}/events.jsonl.gz")
     ds = rd.read_json(path)
 
+    from kawa_ray.stages.distinct import partition_distinct
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -140,21 +181,32 @@ def jsonl_roundtrip_census(sf_dir: str):
         g = df.groupby("event_type").agg(
             n=("event_id", "size"),
             value_cents=("cents", "sum"),
-            users=("user_id", lambda s: set(int(x) for x in s)),
         ).reset_index()
         return g
 
+    ds = ds.materialize()
     n: dict[str, int] = {}
     vs: dict[str, int] = {}
-    us: dict[str, set] = {}
     for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
             batch_format="pandas"):
-        for et, cnt, v, uu in zip(b["event_type"], b["n"], b["value_cents"], b["users"]):
+        for et, cnt, v in zip(b["event_type"], b["n"], b["value_cents"]):
             n[et] = n.get(et, 0) + int(cnt)
             vs[et] = vs.get(et, 0) + int(v)
-            us.setdefault(et, set()).update(uu)
+
+    # distinct users per type: user-cardinality, so through the shared
+    # partitioned distinct (fused per-type partial counts), never a
+    # driver-held user set
+    us: dict[str, int] = {}
+    distinct_counts = partition_distinct(
+        ds, ["event_type", "user_id"], key_col="user_id",
+        then=lambda g: g.groupby("event_type", as_index=False).size().rename(
+            columns={"size": "nu"}))
+    for b in distinct_counts.iter_batches(batch_format="pandas"):
+        for et, nu in zip(b["event_type"], b["nu"]):
+            us[et] = us.get(et, 0) + int(nu)
+
     out = pd.DataFrame(
-        [(et, n[et], len(us[et]), vs[et]) for et in sorted(n)],
+        [(et, n[et], us.get(et, 0), vs[et]) for et in sorted(n)],
         columns=["event_type", "n", "n_users", "value_cents"])
     for c in ("n", "n_users", "value_cents"):
         out[c] = out[c].astype("int64")

@@ -23,7 +23,14 @@ def test_pagerank_no_edges_uniform(ray_session):
 
 def test_pagerank_mass_conservation_bound(ray_session):
     # discretised PR total mass <= 1e9 (floors only lose mass) and
-    # every score >= the teleport term
+    # every score >= the teleport term (floor from the TRUE user count,
+    # not len(out) — k could truncate the output)
+    import pyarrow.parquet as pq
+
+    n_users = len(set(
+        pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
+        .column("user_id").to_pylist()))
     out = user_pagerank(SF_DIR, k=10_000)
-    assert (out["pr_nano"] >= (3 * 1_000_000_000) // (20 * len(out))).all()
+    assert len(out) == n_users  # k exceeds the fixture's user count
+    assert (out["pr_nano"] >= (3 * 1_000_000_000) // (20 * n_users)).all()
     assert out["pr_nano"].sum() <= 1_000_000_000
