@@ -207,6 +207,8 @@ EXTRA_QUERIES = {
     "jsonl_roundtrip_census": jsonl_roundtrip_census,
     # composed quality-filter -> exact-dedup chain under one oracle
     "docs_clean_dedup_census": clean_corpus.docs_clean_dedup_census,
+    # Bloom-gated decontamination (sketch gate + exact verify)
+    "decontam_overlap_bloom": textqual.decontam_overlap_bloom,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -243,6 +245,9 @@ EXTRA_ORACLE_SQL = {
     "ntriples_census": NTRIPLES_CENSUS_SQL,
     "jsonl_roundtrip_census": JSONL_ROUNDTRIP_SQL,
     "docs_clean_dedup_census": clean_corpus.DOCS_CLEAN_DEDUP_SQL,
+    # exact-output operator: the Bloom gate only prunes, the exact set
+    # decides — same oracle as the exact variant
+    "decontam_overlap_bloom": textqual.DECONTAM_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

@@ -512,3 +512,88 @@ SELECT lang, token, cnt FROM c
 WHERE rn <= 5
 ORDER BY lang, cnt DESC, token
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom-gated decontamination
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_KEY = 16   # ~0.04% fp rate at k=4
+_BLOOM_HASHES = 4
+
+
+def _bloom_build(hashes: set[int], m_bits: int) -> np.ndarray:
+    """Deterministic Bloom filter over 64-bit gram hashes: k=4 probe
+    positions derived from fixed 16-bit slices of each hash (no RNG)."""
+    bits = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for h in hashes:
+        for i in range(_BLOOM_HASHES):
+            pos = ((h >> (16 * i)) & 0xFFFF | ((h >> (i * 7)) << 16)) % m_bits
+            bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+    return bits
+
+
+def _bloom_probe(bits: np.ndarray, m_bits: int, h: int) -> bool:
+    for i in range(_BLOOM_HASHES):
+        pos = ((h >> (16 * i)) & 0xFFFF | ((h >> (i * 7)) << 16)) % m_bits
+        if not (int(bits[pos >> 6]) >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def decontam_overlap_bloom(sf_dir: str, n: int = 5,
+                           benchmark_sources: tuple[str, ...] = _BENCHMARK_SOURCES):
+    """Bloom-gated decontamination — identical output to
+    ``decontam_overlap`` (same SQL oracle; equality also pinned in
+    tests), but candidates stream against a BLOOM FILTER of the
+    benchmark grams (16 bits/key ≈ 32× smaller than the exact hash set)
+    and only Bloom-positive documents pay the exact-set verification —
+    the sketch-gate-then-verify shape that keeps the broadcast small
+    when the benchmark set grows."""
+    docs = _read_docs(sf_dir, ["text", "lang", "source"])
+    bench_set: set[int] = set()
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        hs: set[int] = set()
+        for text in df[df["source"].isin(benchmark_sources)]["text"]:
+            hs.update(md5_low64(g) for g in word_ngrams(text.lower().split(), n))
+        return pd.DataFrame({"h": np.fromiter(hs, dtype=np.uint64, count=len(hs))})
+
+    for b in docs.map_batches(bench_grams, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        bench_set.update(int(x) for x in b["h"])
+    m_bits = max(64, _BLOOM_BITS_PER_KEY * max(1, len(bench_set)))
+    bloom_ref = ray.put(_bloom_build(bench_set, m_bits))
+    exact_ref = ray.put(bench_set)
+
+    def flag(df: pd.DataFrame, _b=bloom_ref, _e=exact_ref,
+             _m=m_bits) -> pd.DataFrame:
+        bits = ray.get(_b)
+        exact = None  # fetched lazily: only Bloom-positive docs need it
+        keep = ~df["source"].isin(benchmark_sources)
+        cand = df[keep]
+        hits = []
+        for t in cand["text"]:
+            gh = [md5_low64(g) for g in word_ngrams(t.lower().split(), n)]
+            maybe = [h for h in gh if _bloom_probe(bits, _m, h)]
+            if not maybe:
+                hits.append(0)
+                continue
+            if exact is None:
+                exact = ray.get(_e)
+            hits.append(int(any(h in exact for h in maybe)))
+        out = pd.DataFrame({"lang": cand["lang"].to_numpy(),
+                            "n_docs": 1, "n_contaminated": hits})
+        return out.groupby("lang", as_index=False).sum()
+
+    acc: dict[str, list[int]] = {}
+    for b in docs.map_batches(flag, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for lang, nd, nc in zip(b["lang"], b["n_docs"], b["n_contaminated"]):
+            a = acc.setdefault(lang, [0, 0])
+            a[0] += int(nd); a[1] += int(nc)
+    out = pd.DataFrame([(lg, a[0], a[1]) for lg, a in acc.items()],
+                       columns=["lang", "n_docs", "n_contaminated"])
+    for c in ("n_docs", "n_contaminated"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)

@@ -73,3 +73,13 @@ def test_pmi_symmetric_counts(ray_session):
         c.update(zip(ts[:-1], ts[1:]))
     for _, r in got.iterrows():
         assert c[(r["prev"], r["cur"])] == int(r["c"])
+
+
+def test_bloom_decontam_equals_exact(ray_session):
+    """The Bloom gate is a pure pruning step: the gated operator's
+    output must equal the exact broadcast-set operator's."""
+    from kawa_ray.pipelines.textqual import decontam_overlap_bloom
+
+    exact = decontam_overlap(SF_DIR)
+    gated = decontam_overlap_bloom(SF_DIR)
+    assert exact.reset_index(drop=True).equals(gated.reset_index(drop=True))
