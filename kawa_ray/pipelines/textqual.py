@@ -252,18 +252,9 @@ DOC_REPETITION_SQL = _rep_stats_sql()
 _BENCHMARK_SOURCES = ("src0", "src7")
 
 
-def decontam_overlap(sf_dir: str, n: int = 5,
-                     benchmark_sources: tuple[str, ...] = _BENCHMARK_SOURCES):
-    """Flag candidate documents sharing any word n-gram with the
-    benchmark slice (``source IN benchmark_sources``).  Gram identity =
-    ``md5_low64`` of the space-joined gram (== DuckDB
-    ``md5_number_lower``), gram extraction = the dedup suite's
-    ``word_ngrams`` set semantics.  Benchmark grams are collected once
-    (bounded by the benchmark's size — the small side by construction)
-    and broadcast via ``ray.put``; candidates stream through one
-    ``map_batches`` filter.  Per-language census output."""
-    docs = _read_docs(sf_dir, ["text", "lang", "source"])
-    bench_set: set[int] = set()
+def _benchmark_gram_hashes(docs: rd.Dataset, benchmark_sources, n: int) -> set[int]:
+    """Collect the benchmark slice's distinct gram hashes (bounded by
+    the benchmark's size — the small side by construction)."""
 
     def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
         hs: set[int] = set()
@@ -271,10 +262,39 @@ def decontam_overlap(sf_dir: str, n: int = 5,
             hs.update(md5_low64(g) for g in word_ngrams(text.lower().split(), n))
         return pd.DataFrame({"h": np.fromiter(hs, dtype=np.uint64, count=len(hs))})
 
+    bench_set: set[int] = set()
     for b in docs.map_batches(bench_grams, batch_format="pandas").iter_batches(
             batch_format="pandas"):
         bench_set.update(int(x) for x in b["h"])
-    ref = ray.put(bench_set)
+    return bench_set
+
+
+def _fold_decontam_census(flagged: rd.Dataset) -> pd.DataFrame:
+    """Driver fold of the per-batch per-language partials (≤ one row per
+    language per batch) into the census frame."""
+    acc: dict[str, list[int]] = {}
+    for b in flagged.iter_batches(batch_format="pandas"):
+        for lang, nd, nc in zip(b["lang"], b["n_docs"], b["n_contaminated"]):
+            a = acc.setdefault(lang, [0, 0])
+            a[0] += int(nd); a[1] += int(nc)
+    out = pd.DataFrame([(lg, a[0], a[1]) for lg, a in acc.items()],
+                       columns=["lang", "n_docs", "n_contaminated"])
+    for c in ("n_docs", "n_contaminated"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def decontam_overlap(sf_dir: str, n: int = 5,
+                     benchmark_sources: tuple[str, ...] = _BENCHMARK_SOURCES):
+    """Flag candidate documents sharing any word n-gram with the
+    benchmark slice (``source IN benchmark_sources``).  Gram identity =
+    ``md5_low64`` of the space-joined gram (== DuckDB
+    ``md5_number_lower``), gram extraction = the dedup suite's
+    ``word_ngrams`` set semantics.  Benchmark grams are collected once
+    and broadcast via ``ray.put``; candidates stream through one
+    ``map_batches`` filter.  Per-language census output."""
+    docs = _read_docs(sf_dir, ["text", "lang", "source"])
+    ref = ray.put(_benchmark_gram_hashes(docs, benchmark_sources, n))
 
     # stateless task (not an actor pool): the broadcast set is fetched
     # with a plasma-local ray.get per batch — free after the first fetch
@@ -292,19 +312,7 @@ def decontam_overlap(sf_dir: str, n: int = 5,
                             "n_docs": 1, "n_contaminated": hit})
         return out.groupby("lang", as_index=False).sum()
 
-    # per-language partials (≤ one row per language per batch): driver
-    # fold, no shuffle
-    acc: dict[str, list[int]] = {}
-    for b in docs.map_batches(flag, batch_format="pandas").iter_batches(
-            batch_format="pandas"):
-        for lang, nd, nc in zip(b["lang"], b["n_docs"], b["n_contaminated"]):
-            a = acc.setdefault(lang, [0, 0])
-            a[0] += int(nd); a[1] += int(nc)
-    out = pd.DataFrame([(lg, a[0], a[1]) for lg, a in acc.items()],
-                       columns=["lang", "n_docs", "n_contaminated"])
-    for c in ("n_docs", "n_contaminated"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("lang").reset_index(drop=True)
+    return _fold_decontam_census(docs.map_batches(flag, batch_format="pandas"))
 
 
 def _decontam_sql(n: int = 5,
@@ -551,17 +559,7 @@ def decontam_overlap_bloom(sf_dir: str, n: int = 5,
     the sketch-gate-then-verify shape that keeps the broadcast small
     when the benchmark set grows."""
     docs = _read_docs(sf_dir, ["text", "lang", "source"])
-    bench_set: set[int] = set()
-
-    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
-        hs: set[int] = set()
-        for text in df[df["source"].isin(benchmark_sources)]["text"]:
-            hs.update(md5_low64(g) for g in word_ngrams(text.lower().split(), n))
-        return pd.DataFrame({"h": np.fromiter(hs, dtype=np.uint64, count=len(hs))})
-
-    for b in docs.map_batches(bench_grams, batch_format="pandas").iter_batches(
-            batch_format="pandas"):
-        bench_set.update(int(x) for x in b["h"])
+    bench_set = _benchmark_gram_hashes(docs, benchmark_sources, n)
     m_bits = max(64, _BLOOM_BITS_PER_KEY * max(1, len(bench_set)))
     bloom_ref = ray.put(_bloom_build(bench_set, m_bits))
     exact_ref = ray.put(bench_set)
@@ -574,26 +572,21 @@ def decontam_overlap_bloom(sf_dir: str, n: int = 5,
         cand = df[keep]
         hits = []
         for t in cand["text"]:
-            gh = [md5_low64(g) for g in word_ngrams(t.lower().split(), n)]
-            maybe = [h for h in gh if _bloom_probe(bits, _m, h)]
-            if not maybe:
-                hits.append(0)
-                continue
-            if exact is None:
-                exact = ray.get(_e)
-            hits.append(int(any(h in exact for h in maybe)))
+            # lazy per-gram scan with the exact operator's short-circuit:
+            # verify on each Bloom-positive, stop at the first true hit
+            hit = 0
+            for g in word_ngrams(t.lower().split(), n):
+                h = md5_low64(g)
+                if not _bloom_probe(bits, _m, h):
+                    continue
+                if exact is None:
+                    exact = ray.get(_e)
+                if h in exact:
+                    hit = 1
+                    break
+            hits.append(hit)
         out = pd.DataFrame({"lang": cand["lang"].to_numpy(),
                             "n_docs": 1, "n_contaminated": hits})
         return out.groupby("lang", as_index=False).sum()
 
-    acc: dict[str, list[int]] = {}
-    for b in docs.map_batches(flag, batch_format="pandas").iter_batches(
-            batch_format="pandas"):
-        for lang, nd, nc in zip(b["lang"], b["n_docs"], b["n_contaminated"]):
-            a = acc.setdefault(lang, [0, 0])
-            a[0] += int(nd); a[1] += int(nc)
-    out = pd.DataFrame([(lg, a[0], a[1]) for lg, a in acc.items()],
-                       columns=["lang", "n_docs", "n_contaminated"])
-    for c in ("n_docs", "n_contaminated"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("lang").reset_index(drop=True)
+    return _fold_decontam_census(docs.map_batches(flag, batch_format="pandas"))

@@ -40,18 +40,24 @@ def _fixture_fresh(path: str, src: str) -> bool:
     marker = f"{path}.src.json"
     ident = {"src": os.path.abspath(src), "mtime": os.path.getmtime(src)}
     if os.path.exists(path) and os.path.exists(marker):
-        with open(marker) as f:
-            if json.load(f) == ident:
-                return True
+        try:
+            with open(marker) as f:
+                if json.load(f) == ident:
+                    return True
+        except (json.JSONDecodeError, OSError):
+            return False  # truncated/racing marker -> rebuild, self-heal
     return False
 
 
 def _write_fixture_marker(path: str, src: str) -> None:
     import json
 
-    with open(f"{path}.src.json", "w") as f:
+    marker = f"{path}.src.json"
+    tmp = f"{marker}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump({"src": os.path.abspath(src),
                    "mtime": os.path.getmtime(src)}, f)
+    os.replace(tmp, marker)
 
 
 def write_fixture_ntriples(sf_dir: str, path: str) -> str:
@@ -195,10 +201,13 @@ def jsonl_roundtrip_census(sf_dir: str):
 
     # distinct users per type: user-cardinality, so through the shared
     # partitioned distinct (fused per-type partial counts), never a
-    # driver-held user set
+    # driver-held user set; project to the two needed columns FIRST so
+    # event_id/value never cross the shuffle
     us: dict[str, int] = {}
     distinct_counts = partition_distinct(
-        ds, ["event_type", "user_id"], key_col="user_id",
+        ds.map_batches(lambda df: df[["event_type", "user_id"]],
+                       batch_format="pandas"),
+        ["event_type", "user_id"], key_col="user_id",
         then=lambda g: g.groupby("event_type", as_index=False).size().rename(
             columns={"size": "nu"}))
     for b in distinct_counts.iter_batches(batch_format="pandas"):
