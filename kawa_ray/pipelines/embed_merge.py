@@ -251,4 +251,17 @@ def embed_space_merge(sf_dir: str):
         if d > 0 and M[main].any():
             coss.append(float(Mn[main] @ (mean_nbr / d)))
     report["synth_neighbor_cos"] = round(float(np.mean(coss)), 4) if coss else 0.0
+    # self-gate (driver row is no_oracle): every src token must land —
+    # nothing left zero — and synthesis must point vectors at their
+    # positive neighbourhood (inlined test_embed_merge gate; observed
+    # 0.9466 at sf0.01)
+    from kawa_ray.gates import gate
+
+    gate(report["n_zero_left"] == 0, "merge left zero-vector rows",
+         n=report["n_zero_left"])
+    gate(report["n_synthesized"] == 0 or report["synth_neighbor_cos"] >= 0.7,
+         "synthesized vectors do not align with their neighbourhoods",
+         cos=report["synth_neighbor_cos"])
+    gate(report["n_shared"] + report["n_appended"] + report["n_recycled"]
+         == report["n_src"], "token mapping census does not cover src space")
     return pd.DataFrame([report])

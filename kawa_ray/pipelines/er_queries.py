@@ -17,6 +17,7 @@ import pyarrow.parquet as pq
 
 from kawa_ray.config import LinkageConfig
 from kawa_ray.eval.pairwise import bcubed_scores, gold_labeled_pairs, pairwise_f1
+from kawa_ray.gates import gate
 from kawa_ray.sources.pages import ensure_pages, sf_of_dir
 
 _LINK_CACHE: dict[str, dict] = {}
@@ -59,7 +60,11 @@ def er_extract_check(sf_dir: str):
         .aggregate(Sum("n_pages", alias_name="n_pages"), Sum("n_identical", alias_name="n_identical"))
         .to_pandas()
     )
-    return out.sort_values("lang").reset_index(drop=True)
+    out = out.sort_values("lang").reset_index(drop=True)
+    bad = out[out["n_identical"] != out["n_pages"]]
+    gate(bad.empty, "byte-identity broken: extracted text != golden text",
+         langs=bad["lang"].tolist())
+    return out
 
 
 def er_mention_stats(sf_dir: str):
@@ -67,7 +72,16 @@ def er_mention_stats(sf_dir: str):
     _, res = _linked(sf_dir)
     df = res["mentions"].select_columns(["label"]).to_pandas()
     out = df.groupby("label").size().reset_index(name="n_mentions")
-    return out.sort_values("label").reset_index(drop=True)
+    out = out.sort_values("label").reset_index(drop=True)
+    got = set(out["label"])
+    # the labels every scale of the synthetic corpus is guaranteed to
+    # carry: roster entity types (lexicon detection) + regex extractors
+    core = {"PERSON", "PUBLIC_FIGURE", "ORG", "GPE", "PRODUCT",
+            "EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS"}
+    gate(core <= got, "detection lost a core NER label entirely",
+         missing=sorted(core - got))
+    gate(bool((out["n_mentions"] > 0).all()), "zero-mention label row emitted")
+    return out
 
 
 def er_clusters(sf_dir: str):
@@ -78,6 +92,13 @@ def er_clusters(sf_dir: str):
     g = df.groupby("entity_cluster").agg(
         n_mentions=("norm", "size"), n_surfaces=("norm", "nunique")
     ).reset_index()
+    gate(len(g) > 0, "linkage produced zero entity clusters")
+    gate(bool((g["n_mentions"] >= g["n_surfaces"]).all())
+         and bool((g["n_surfaces"] >= 1).all()),
+         "cluster census invariant broken (n_mentions >= n_surfaces >= 1)")
+    # clustering must actually merge: at least one multi-surface cluster
+    gate(int(g["n_surfaces"].max()) > 1,
+         "no cluster groups more than one surface — closure did not run")
     g = g.sort_values(["n_mentions", "entity_cluster"], ascending=[False, True]).head(50)
     return g.reset_index(drop=True)
 
@@ -95,6 +116,11 @@ def er_eval(sf_dir: str):
         res["norm2cluster"],
     )
     b3 = bcubed_scores(gold, res["norm2cluster"])
+    # THE self-gate (north rule): a sub-0.99 F1 must flip the driver row
+    # to err, never pass silently (fault-injected in tests/test_gates.py)
+    gate(m["f1"] >= 0.99, "north-rule pairwise F1 gate failed", f1=m["f1"],
+         precision=m["precision"], recall=m["recall"])
+    gate(b3["b3_f1"] >= 0.99, "B-cubed F1 gate failed", b3_f1=b3["b3_f1"])
     return pd.DataFrame(
         {
             "n_labeled_pairs": [m["n_pairs"]],
@@ -124,6 +150,11 @@ def er_clusters_resumable(sf_dir: str):
     pages_dir = ensure_pages(sf)
     root = os.path.join(tempfile.gettempdir(), "kawa_ray_ckpt", f"sf{sf}")
     res = link_pages_checkpointed(pages_dir, root)
+    # resumable must be byte-identical to the direct in-memory run
+    _, direct = _linked(sf_dir)
+    gate(res["norm2cluster"] == direct["norm2cluster"],
+         "checkpointed linkage diverged from the direct run",
+         n_ckpt=len(res["norm2cluster"]), n_direct=len(direct["norm2cluster"]))
     rows = []
     for stage, m in res["manifests"].items():
         for pid, ent in sorted(m["partitions"].items(), key=lambda kv: int(kv[0])):
@@ -165,7 +196,11 @@ def er_lexicon_build(sf_dir: str):
             "equal_to_single_process": dist.residual == single.residual,
         }
     )
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    gate(bool(out["equal_to_single_process"].all()),
+         "distributed lexicon build != single-process build",
+         levels=out.loc[~out["equal_to_single_process"], "level"].tolist())
+    return out
 
 
 def er_word2ner_stats(sf_dir: str):
@@ -355,7 +390,14 @@ def er_mention_eval(sf_dir: str):
         2 * agg["precision"] * agg["recall"]
         / (agg["precision"] + agg["recall"]).clip(lower=1e-9)
     ).round(4)
-    return agg.sort_values("lang").reset_index(drop=True)
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    # every corpus language must be represented and score near-perfect on
+    # the synthetic gold (observed minimum 0.9963 at sf0.01)
+    weak = agg[agg["f1"] < 0.97]
+    gate(weak.empty, "per-language mention F1 regressed below 0.97",
+         langs=weak["lang"].tolist(), f1s=weak["f1"].tolist())
+    gate(len(agg) >= 5, "mention eval lost corpus languages", n=len(agg))
+    return agg
 
 
 def er_incremental_check(sf_dir: str):
@@ -400,6 +442,9 @@ def er_incremental_check(sf_dir: str):
                      "n_clusters": len(set(full["norm2cluster"].values())),
                      "n_new_pairs": full["n_pairs"],
                      "equals_full_rebuild": s["norm2cluster"] == full["norm2cluster"]})
+        gate(bool(rows[-1]["equals_full_rebuild"]),
+             "incremental fold diverged from the full rebuild",
+             n_incr=rows[-2]["n_clusters"], n_full=rows[-1]["n_clusters"])
         return pd.DataFrame(rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -424,6 +469,14 @@ def er_salting_report(sf_dir: str):
     p_unsalted = gold_labeled_pairs(gold, unsalted, ent_of)
     pos_s = {(a, b) for a, b, _k, same in p_salted if same}
     pos_u = {(a, b) for a, b, _k, same in p_unsalted if same}
+    retained = len(pos_s & pos_u) / max(len(pos_u), 1)
+    # the salting trade must stay bounded: it may only REMOVE pair volume
+    # and must keep nearly all positive recall (observed 1.0 at sf0.01)
+    gate(retained >= 0.95, "salting dropped too many positive pairs",
+         retained=round(retained, 4))
+    gate(len(p_salted) <= len(p_unsalted),
+         "salting INCREASED labeled pair volume",
+         salted=len(p_salted), unsalted=len(p_unsalted))
     return pd.DataFrame(
         {
             "labeled_pairs_unsalted": [len(p_unsalted)],
@@ -456,7 +509,7 @@ def er_context_embeddings(sf_dir: str):
         read_pages(pages_dir), lexicon
     )
     norms = sorted(norm2row)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "norm": norms,
             "l2": [round(float(np.linalg.norm(matrix[norm2row[n]])), 4)
@@ -464,3 +517,10 @@ def er_context_embeddings(sf_dir: str):
             "c0": [round(float(matrix[norm2row[n]][0]), 4) for n in norms],
         }
     )
+    # inlined pytest gates (test_embedding_stage): artifact covers the
+    # corpus vocabulary and every span-pooled vector is L2-normalised
+    gate(len(out) > 50, "context-embedding artifact nearly empty", n=len(out))
+    gate(bool(((out["l2"] - 1.0).abs() <= 1e-3).all()),
+         "span-pooled vectors are not L2-normalised",
+         l2_min=float(out["l2"].min()), l2_max=float(out["l2"].max()))
+    return out

@@ -46,4 +46,25 @@ def lang_resources_census(sf_dir: str) -> pd.DataFrame:
             "n_ner_regexes": len(p.get("ner_regexes", [])),
             "has_gender_swap": int(lang in BINARY_GENDER_SWAP),
         })
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    # self-gates (driver row is no_oracle): reference parity on breadth —
+    # 134 stopword languages (stopwords.py:5), 166-language name map,
+    # every faker base language exporting names + a PERSON regex
+    # (inlined from tests/test_lang_resources.py)
+    from kawa_ray.gates import gate
+    from kawa_ray.state.faker_locales import FAKER_LOCALES
+
+    gate(int((out["n_stopwords"] > 0).sum()) >= 134,
+         "stopword language breadth below reference parity",
+         n=int((out["n_stopwords"] > 0).sum()))
+    gate(len(LANG_NAMES) >= 166, "language-name map lost entries",
+         n=len(LANG_NAMES))
+    base_langs = {loc.split("_")[0] for loc in FAKER_LOCALES}
+    by_lang = out.set_index("lang")
+    bad = [lg for lg in sorted(base_langs)
+           if lg not in by_lang.index
+           or by_lang.loc[lg, "n_first_names"] == 0
+           or by_lang.loc[lg, "n_ner_regexes"] == 0]
+    gate(not bad, "faker locale export lost names or PERSON regexes",
+         langs=bad)
+    return out
