@@ -1288,8 +1288,10 @@ def _keep_best_census(sf_dir: str, edges: rd.Dataset,
     language of (members, kept, dropped).  Below ``driver_threshold``
     edges the closure runs as driver union-find (edge-space, the
     _edges_census bound); above it, distributed label propagation plus
-    two hash-partitioned joins (attach label by node, then argmax by
-    label) — no driver-held node table on the scale path."""
+    two hash-partitioned joins: attach label by node, then the keep-best
+    ranking runs INSIDE the per-lbl partition (every member of a lbl
+    hashes to one partition) emitting per-lang census partials, so the
+    driver folds ≤ P x n_langs rows — never a member-space table."""
     if driver_threshold is None:
         driver_threshold = _DRIVER_EDGE_THRESHOLD
     cols = ["lang", "n_members", "n_kept", "n_dropped"]
@@ -1302,6 +1304,21 @@ def _keep_best_census(sf_dir: str, edges: rd.Dataset,
         return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "lang" else object)
                              for c in cols})
     P = 64
+
+    def rank_census(g: pd.DataFrame) -> pd.DataFrame:
+        """Keep-best ranking + per-lang census over a frame that holds
+        every member of each lbl it contains."""
+        g = g.copy()
+        g["doc_int"] = g["node"].astype("int64")
+        g = g.sort_values(["lbl", "ntok", "doc_int"],
+                          ascending=[True, False, True])
+        g["rn"] = g.groupby("lbl").cumcount()
+        out = g.groupby("lang").agg(
+            n_members=("node", "size"),
+            n_kept=("rn", lambda s: int((s == 0).sum())),
+            n_dropped=("rn", lambda s: int((s != 0).sum())),
+        ).reset_index()
+        return out
 
     if n_edges <= driver_threshold:
         edf = edges_s.to_pandas()
@@ -1319,6 +1336,7 @@ def _keep_best_census(sf_dir: str, edges: rd.Dataset,
 
         members = _member_token_rows(sf_dir).map_batches(
             member_rows, batch_format="pandas").to_pandas()  # node-space
+        census = rank_census(members)
     else:
         from kawa_ray.stages.clustering import label_propagation_components_bucketed
         from kawa_ray.functions.minhash import hash64
@@ -1340,7 +1358,9 @@ def _keep_best_census(sf_dir: str, edges: rd.Dataset,
             out["lbl"] = out["node"].map(lbl_of)
             return out[["node", "lang", "ntok", "lbl"]]
 
-        members = (
+        # rank inside the per-lbl partition: only per-lang census
+        # partials (<= P x n_langs rows) ever reach the driver
+        partials = (
             lab_rows.union(tok_rows)
             .map_batches(lambda df: df.assign(
                 part=[hash64(n) % P for n in df["node"]]), batch_format="pandas")
@@ -1349,19 +1369,13 @@ def _keep_best_census(sf_dir: str, edges: rd.Dataset,
             .map_batches(lambda df: df.assign(
                 part=[hash64(x) % P for x in df["lbl"]]), batch_format="pandas")
             .groupby("part")
-            .map_groups(lambda g: g.drop(columns="part"), batch_format="pandas")
+            .map_groups(lambda g: rank_census(g.drop(columns="part")),
+                        batch_format="pandas")
             .to_pandas()
         )
+        census = (partials.groupby("lang")[["n_members", "n_kept", "n_dropped"]]
+                  .sum().reset_index())
 
-    members["doc_int"] = members["node"].astype("int64")
-    members = members.sort_values(["lbl", "ntok", "doc_int"],
-                                  ascending=[True, False, True])
-    members["rn"] = members.groupby("lbl").cumcount()
-    census = members.groupby("lang").agg(
-        n_members=("node", "size"),
-        n_kept=("rn", lambda s: int((s == 0).sum())),
-        n_dropped=("rn", lambda s: int((s != 0).sum())),
-    ).reset_index()
     for c in ("n_members", "n_kept", "n_dropped"):
         census[c] = census[c].astype("int64")
     return census.sort_values("lang").reset_index(drop=True)

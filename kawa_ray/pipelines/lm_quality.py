@@ -213,8 +213,11 @@ WITH toks AS (
   SELECT prev, CAST(SUM(c) AS BIGINT) AS cprev FROM cb GROUP BY 1
 ), mapped AS (
   SELECT b.doc_id, b.lang,
-         CASE WHEN pv.w IS NULL THEN '<unk>' ELSE b.prev END AS mprev,
-         CASE WHEN cv.w IS NULL THEN '<unk>' ELSE b.cur END AS mcur
+         -- OOV sentinel contains a SPACE so no whitespace-split token can
+         -- ever collide with it (a literal '<unk>' token in the corpus
+         -- must stay a distinct in-vocab key, as it does on the Ray side)
+         CASE WHEN pv.w IS NULL THEN '< unk >' ELSE b.prev END AS mprev,
+         CASE WHEN cv.w IS NULL THEN '< unk >' ELSE b.cur END AS mcur
   FROM bg b
   LEFT JOIN vt pv ON pv.w = b.prev
   LEFT JOIN vt cv ON cv.w = b.cur
@@ -291,15 +294,18 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
     n_uni = int(uni.sum())
     n_big = int(bg["c"].sum())
     bg = bg[bg["c"] >= min_count].copy()
-    cx = bg["prev"].map(uni).to_numpy(np.int64)
-    cy = bg["cur"].map(uni).to_numpy(np.int64)
-    cxy = bg["c"].to_numpy(np.int64)
-    # one int64 ratio then one ln per surviving bigram, computed with
-    # math.log (glibc == DuckDB LN; numpy's SIMD log drifts by 1 ulp)
+    cx = bg["prev"].map(uni).to_numpy(np.float64)
+    cy = bg["cur"].map(uni).to_numpy(np.float64)
+    cxy = bg["c"].to_numpy(np.float64)
+    # float64 products in the SAME left-to-right order as the oracle's
+    # CAST-each-factor-then-multiply — int64 products would wrap silently
+    # once c*n_uni^2 exceeds 2^63 (plausible at large corpora) while the
+    # BIGINT oracle raises; ln via math.log (glibc == DuckDB LN; numpy's
+    # SIMD log drifts by 1 ulp)
     import math
 
-    ratio = ((cxy * n_uni * n_uni).astype(np.float64)
-             / (n_big * cx * cy).astype(np.float64))
+    fn, fb = float(n_uni), float(n_big)
+    ratio = (cxy * fn * fn) / (fb * cx * cy)
     bg["pmi"] = [math.log(r) for r in ratio]
     bg = bg.sort_values(["pmi", "prev", "cur"],
                         ascending=[False, True, True]).head(k)
@@ -330,8 +336,11 @@ WITH toks AS (
   SELECT CAST(SUM(c) AS BIGINT) AS n_big FROM bg
 )
 SELECT bg.prev, bg.cur, bg.c,
-       LN(CAST(bg.c * nu.n_uni * nu.n_uni AS DOUBLE)
-          / CAST(nb.n_big * ux.c * uy.c AS DOUBLE)) AS pmi
+       -- cast EACH factor before multiplying (float64 products in the
+       -- same order as the Ray path): the BIGINT product form overflows
+       -- loudly at large corpora while numpy would wrap silently
+       LN((CAST(bg.c AS DOUBLE) * CAST(nu.n_uni AS DOUBLE) * CAST(nu.n_uni AS DOUBLE))
+          / (CAST(nb.n_big AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))) AS pmi
 FROM bg
 JOIN uni ux ON ux.w = bg.prev
 JOIN uni uy ON uy.w = bg.cur

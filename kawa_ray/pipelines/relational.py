@@ -1136,7 +1136,11 @@ def events_rolling_max(sf_dir: str, window: int = 3):
     def rolling(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         u = g["user_id"].to_numpy(np.int64)
-        v = g["value"].to_numpy(np.float64)
+        # per-row micro-discretisation BEFORE the window sum (the repo's
+        # float-exact convention): integer window sums are order-free, so
+        # parity no longer leans on DuckDB's windowed-AVG implementation
+        # detail of adding frame values in ascending index order
+        v = np.floor(g["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
         n = v.size
         if n == 0:
             return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
@@ -1147,22 +1151,18 @@ def events_rolling_max(sf_dir: str, window: int = 3):
         starts = np.flatnonzero(newu)
         lens = np.diff(np.append(starts, n))
         pos = np.arange(n) - np.repeat(starts, lens)
-        # full windows, vectorised with explicit ascending-index adds
-        # (((v[i-w+1] + v[i-w+2]) + ...) + v[i]) — the frame order the
-        # SQL window AVG uses; boundary rows (< w-1 per user) in a
-        # small loop
-        s = np.zeros(n, dtype=np.float64)
+        # full windows: exact int64 sums of the w shifted arrays;
+        # boundary rows (< w-1 per user) in a small loop
+        s = np.zeros(n, dtype=np.int64)
         for off in range(window - 1, -1, -1):
-            sh = np.empty(n, dtype=np.float64)
+            sh = np.empty(n, dtype=np.int64)
             sh[off:] = v[: n - off] if off else v
-            sh[:off] = 0.0
+            sh[:off] = 0
             s = s + sh
-        mean = s / float(window)
+        mean = (s.astype(np.float64) / float(window)) / 1e6
         for i in np.flatnonzero(pos < window - 1):
-            acc = 0.0
-            for j in range(i - pos[i], i + 1):
-                acc = acc + v[j]
-            mean[i] = acc / (pos[i] + 1)
+            acc = int(v[i - pos[i]: i + 1].sum())
+            mean[i] = (float(acc) / float(pos[i] + 1)) / 1e6
         best = np.maximum.reduceat(mean, starts)
         return pd.DataFrame({"user_id": pd.Series(u[starts], dtype="int64"),
                              "max_rolling_mean": best})
@@ -1178,13 +1178,17 @@ def events_rolling_max(sf_dir: str, window: int = 3):
 
 
 EVENTS_ROLLING_SQL = """
-WITH r AS (
-  SELECT user_id,
-         AVG(value) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-         ) AS m
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS micro
   FROM events
+), r AS (
+  SELECT user_id,
+         (CAST(SUM(micro) OVER w AS DOUBLE)
+          / CAST(COUNT(*) OVER w AS DOUBLE)) / 1000000.0 AS m
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, MAX(m) AS max_rolling_mean
 FROM r GROUP BY user_id ORDER BY user_id

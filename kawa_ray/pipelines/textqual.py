@@ -477,12 +477,18 @@ def top_tokens_mg(sf_dir: str, k: int = 5, capacity: int = 64):
     # MG guarantee check: every token outside the candidate set has true
     # count <= N/(capacity+1); the k-th kept count must clear that bound
     # or top-k might live outside the candidates.
+    # driven off totals, not topk groups: a language whose merged summary
+    # compressed to zero candidates has NO topk group at all — that must
+    # trigger the exact fallback, not silently drop the language
     ok = True
-    for lang, grp in topk.groupby("lang"):
-        n_lang = int(totals.get(lang, 0))
+    grp_of = {lang: grp for lang, grp in topk.groupby("lang")}
+    for lang, n_lang in totals.items():
+        if n_lang <= 0:
+            continue
+        grp = grp_of.get(lang)
         # absent tokens have true count <= N/(capacity+1); the k-th kept
         # count must strictly clear it (integer-exact comparison)
-        if (len(grp) < k
+        if (grp is None or len(grp) < k
                 or int(grp["cnt"].iloc[-1]) * (capacity + 1) <= n_lang):
             ok = False
     if not ok:  # exact fallback: full-vocabulary shuffle

@@ -71,6 +71,30 @@ def test_mg_compress_retains_heavy_hitters():
             assert c <= true[t]
 
 
+def test_top_tokens_uniform_lang_not_dropped(ray_session, tmp_path):
+    """ADVICE round-3 (medium): a language whose counts are perfectly
+    uniform compresses to an EMPTY MG summary — it has no topk group,
+    so a check driven off topk.groupby would skip it and silently drop
+    the language.  The totals-driven check must fall back and keep it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 'uu': 40 distinct tokens, each exactly once -> MG summary empty at
+    # capacity=8.  'en': skewed counts -> summary survives.
+    uu_text = " ".join(f"tok{i}" for i in range(40))
+    en_text = " ".join(["alpha"] * 30 + ["beta"] * 5 + ["gamma"] * 2)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "lang": ["uu", "en"],
+                  "text": [uu_text, en_text], "source": ["t", "t"]}),
+        tmp_path / "documents.parquet")
+    out = top_tokens_mg(str(tmp_path), k=3, capacity=8)
+    assert set(out["lang"]) == {"en", "uu"}
+    uu = out[out["lang"] == "uu"]
+    assert len(uu) == 3 and uu["token"].tolist() == ["tok0", "tok1", "tok10"]
+    en = out[out["lang"] == "en"]
+    assert en["token"].tolist() == ["alpha", "beta", "gamma"]
+
+
 def test_top_tokens_fallback_is_exact(ray_session):
     # capacity=1 forces the guarantee check to fail -> full-groupby
     # fallback; both paths must emit the identical exact top-k
