@@ -50,6 +50,29 @@ def md5_low64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:])[0]
 
 
+def md5_low64_many(strings) -> np.ndarray:
+    """``md5_low64`` over a whole batch of strings with batch-level
+    dedup: hash each DISTINCT string once (np.unique), gather the rest
+    by inverse index.  Same md5 semantics (the SQL oracles stay exact);
+    k-char / n-token grams of natural text repeat heavily within a
+    batch, so this cuts the md5 call count — the single biggest CPU
+    sink of the winnow/substring/gram-set stages — without changing a
+    single output bit.  -> np.uint64 array aligned with the input."""
+    arr = np.asarray(strings if isinstance(strings, (list, np.ndarray))
+                     else list(strings), dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    # hash-based dedup (pandas factorize), NOT np.unique: sorting object
+    # strings costs more than it saves (measured 0.129 s vs factorize's
+    # 0.027 s on 147k grams at 7% uniqueness; direct hashing 0.124 s)
+    import pandas as pd
+
+    codes, uniq = pd.factorize(arr, sort=False)
+    uh = np.fromiter((md5_low64(s) for s in uniq), dtype=np.uint64,
+                     count=len(uniq))
+    return uh[codes]
+
+
 def char_shingles(s: str, k: int = 3) -> list[str]:
     if len(s) <= k:
         return [s] if s else []

@@ -479,15 +479,25 @@ def _candidate_gram_sets(sf_dir: str, ids: set | None, n: int) -> rd.Dataset:
         return t.filter(pc.is_in(t.column("doc_id"), pa.array(want, pa.int64())))
 
     def grams(t: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
+        from kawa_ray.functions.minhash import md5_low64_many
+
+        out_id, spans, all_grams = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
-            hs = sorted({md5_low64(g) for g in word_ngrams(toks, n)})
+            gs = list(word_ngrams(toks, n))
             out_id.append(doc_id)
+            spans.append(len(gs))
+            all_grams.extend(gs)
+        # one batch-deduped md5 pass over every doc's grams
+        all_h = md5_low64_many(all_grams)
+        out_g, off = [], 0
+        for ln in spans:
+            hs = np.unique(all_h[off:off + ln])
+            off += ln
             # packed uint64 blob: survives pandas<->arrow round-trips that
             # mangle ragged list columns (Ray TensorArray)
-            out_g.append(np.asarray(hs, dtype="<u8").tobytes())
+            out_g.append(hs.astype("<u8").tobytes())
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "grams": pa.array(out_g, pa.binary())})
 
@@ -696,12 +706,21 @@ def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def keys(t: pa.Table) -> pa.Table:
+        from kawa_ray.functions.minhash import md5_low64_many
+
         df = t.to_pandas()
-        out_doc, out_key = [], []
+        docs, all_grams = [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _WS.split(text.lower().strip()) if text.strip() else []
-            hs = sorted(md5_low64(g) for g in set(word_ngrams(toks, n)))
-            for h in hs[:n_keys]:
+            gs = list(set(word_ngrams(toks, n)))
+            docs.append((doc_id, len(gs)))
+            all_grams.extend(gs)
+        all_h = md5_low64_many(all_grams)  # batch-deduped md5 pass
+        out_doc, out_key, off = [], [], 0
+        for doc_id, ln in docs:
+            hs = np.sort(all_h[off:off + ln])
+            off += ln
+            for h in hs[:n_keys].tolist():
                 out_doc.append(doc_id)
                 out_key.append(h)
         return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
@@ -1006,6 +1025,36 @@ MINHASH_DEDUP_SQL = _minhash_sql()
 SIMHASH_DEDUP_SQL = _simhash_sql()
 
 
+def _winnow_selected(t: pa.Table, k: int, w: int) -> list[np.ndarray]:
+    """Per-doc winnowing fingerprints for one Arrow batch: md5-low64
+    every k-char gram (batch-deduped hashing — md5_low64_many), min of
+    each sliding window of ``w`` gram hashes, distinct mins per doc."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from kawa_ray.functions.minhash import md5_low64_many
+
+    texts = t.column("text").to_pylist()
+    spans: list[int] = []
+    grams: list[str] = []
+    for text in texts:
+        n_grams = len(text) - k + 1
+        if n_grams < w:
+            spans.append(0)
+            continue
+        spans.append(n_grams)
+        grams.extend(text[i:i + k] for i in range(n_grams))
+    all_h = md5_low64_many(grams)
+    sels, off = [], 0
+    for n_grams in spans:
+        if n_grams == 0:
+            sels.append(np.empty(0, dtype=np.uint64))
+            continue
+        hs = all_h[off:off + n_grams]
+        off += n_grams
+        sels.append(np.unique(sliding_window_view(hs, w).min(axis=1)))
+    return sels
+
+
 def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
     """Winnowing document fingerprints (Schleimer et al. 2003, the
     MOSS local-fingerprinting scheme): hash every k-char-gram
@@ -1013,88 +1062,73 @@ def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
     consecutive gram hashes, fingerprint = the doc's distinct selected
     hashes.  Census per lang: docs, selected fingerprints, distinct
     fingerprints (shared fingerprints across docs = near-dup signal).
-    Exact SQL oracle (window MIN over md5_number_lower grams)."""
+    Exact SQL oracle (window MIN over md5_number_lower grams).
+
+    ONE streaming pass, ONE shuffle, NO materialize (round-3 VERDICT
+    item 2: the old shape ``.materialize()``d the fingerprint-expanded
+    stream — corpus x tokens rows, the largest intermediate in the repo
+    — just to share it between the doc-census and distinct consumers).
+    The per-batch doc partials now RIDE the partitioned-distinct
+    exchange as passthrough rows (stages/distinct.py
+    ``passthrough_col``), and both censuses fold out of the same
+    per-partition reduction."""
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
 
-    def fp(t: pa.Table) -> pa.Table:
-        out_lang, out_nfp = [], []
-        fps_rows = {"lang": [], "fp": []}
-        for lang, text in zip(t.column("lang").to_pylist(),
-                              t.column("text").to_pylist()):
-            n_grams = len(text) - k + 1
-            if n_grams < w:
-                out_lang.append(lang)
-                out_nfp.append(0)
-                continue
-            hs = np.fromiter(
-                (md5_low64(text[i:i + k]) for i in range(n_grams)),
-                dtype=np.uint64, count=n_grams,
-            )
-            # min of each window [i, i+w)
-            from numpy.lib.stride_tricks import sliding_window_view
+    def fused(t: pa.Table) -> pa.Table:
+        sels = _winnow_selected(t, k, w)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        counts = np.fromiter((s.size for s in sels), dtype=np.int64,
+                             count=len(sels))
+        fp = (np.concatenate(sels) if sels else np.empty(0, np.uint64))
+        # per-batch doc partials (one row per lang in the batch)
+        df = pd.DataFrame({"lang": langs, "n": counts})
+        g = (df.groupby("lang", sort=False)["n"]
+             .agg(n_docs="size", n_fps="sum").reset_index())
+        n_f, n_d = len(fp), len(g)
+        # int64-shifted (top bit flipped): Ray's aggregate path can't
+        # carry uint64 > 2^63; the shift preserves distinctness
+        return pa.table({
+            "lang": pa.array(np.concatenate([np.repeat(langs, counts),
+                                             g["lang"].to_numpy(object)]),
+                             pa.string()),
+            "fp": pa.array(np.concatenate([
+                (fp ^ np.uint64(1 << 63)).view(np.int64),
+                np.zeros(n_d, np.int64)])),
+            "is_doc": pa.array([False] * n_f + [True] * n_d),
+            "n_docs": pa.array(np.concatenate([np.zeros(n_f, np.int64),
+                                               g["n_docs"].to_numpy(np.int64)])),
+            "n_fps": pa.array(np.concatenate([np.zeros(n_f, np.int64),
+                                              g["n_fps"].to_numpy(np.int64)])),
+        })
 
-            sel = np.unique(sliding_window_view(hs, w).min(axis=1))
-            out_lang.append(lang)
-            out_nfp.append(int(sel.size))
-            fps_rows["lang"] += [lang] * sel.size
-            # int64-shifted (top bit flipped): Ray's aggregate path can't
-            # carry uint64 > 2^63; the shift preserves distinctness
-            fps_rows["fp"] += (sel ^ np.uint64(1 << 63)).view(np.int64).tolist()
-        per_doc = pa.table({"lang": pa.array(out_lang, pa.string()),
-                            "n_docs": pa.array([1] * len(out_lang), pa.int64()),
-                            "n_fps": pa.array(out_nfp, pa.int64())})
-        fps = pa.table({"lang": pa.array(fps_rows["lang"], pa.string()),
-                        "fp": pa.array(fps_rows["fp"], pa.int64()),
-                        "kind": pa.array(["f"] * len(fps_rows["fp"]), pa.string())})
-        doc_rows = per_doc.append_column("kind", pa.array(["d"] * per_doc.num_rows))
-        doc_rows = doc_rows.append_column("fp", pa.array([0] * per_doc.num_rows, pa.int64()))
-        return pa.concat_tables([
-            doc_rows.select(["lang", "kind", "n_docs", "n_fps", "fp"]),
-            fps.append_column("n_docs", pa.array([0] * fps.num_rows, pa.int64()))
-               .append_column("n_fps", pa.array([0] * fps.num_rows, pa.int64()))
-               .select(["lang", "kind", "n_docs", "n_fps", "fp"]),
-        ])
-
-    # census in two stages so no task ever holds one language's whole
-    # fingerprint stream (round-2 VERDICT item 3: groupby(lang) alone put
-    # ALL of a language's rows in one map_groups group — unbounded for a
-    # mostly-one-language corpus).  Distinct fingerprints go through
-    # groupby([lang, fp]) (hash-partitioned on the pair) then a per-lang
-    # count — the same shape doc_fingerprints already uses.
-    mixed = ds.map_batches(fp, batch_format="pyarrow").materialize()
-
-    def keep(kind: str):
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.filter(pc.equal(t.column("kind"), kind))
-        return f
-
-    doc_agg = (
-        mixed.map_batches(keep("d"), batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("n_fps", alias_name="n_fingerprints"))
-        .to_pandas()
-    )
-    # distinct via the shared partitioned distinct (stages/distinct.py)
-    # with a fused per-lang partial count (keeps the round-2 two-stage
-    # shape — no single-language group — without Ray's per-distinct-key
-    # aggregate cost at fingerprint cardinality)
+    # the shared partitioned distinct (stages/distinct.py): fp rows
+    # dedup per (lang, fp) partition, doc-partial rows pass through the
+    # same exchange, and the per-partition ``then`` folds both into
+    # per-lang partial sums — no single-language group, no per-distinct-
+    # key aggregate cost, nothing pinned
     from kawa_ray.stages.distinct import partition_distinct
 
-    distinct = (
-        partition_distinct(
-            mixed.map_batches(keep("f"), batch_format="pyarrow"),
-            ["lang", "fp"], key_col="fp",
-            then=lambda g: g.groupby("lang", as_index=False).size().rename(
-                columns={"size": "n"}))
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[~g["is_doc"]]
+        d = g[g["is_doc"]]
+        nd = f.groupby("lang", as_index=False).size().rename(
+            columns={"size": "n_distinct"})
+        dd = d.groupby("lang", as_index=False)[["n_docs", "n_fps"]].sum()
+        out = dd.merge(nd, on="lang", how="outer").fillna(0)
+        return out
+
+    out = (
+        partition_distinct(ds.map_batches(fused, batch_format="pyarrow"),
+                           ["lang", "fp"], key_col="fp",
+                           passthrough_col="is_doc", then=fold)
         .groupby("lang")
-        .aggregate(Sum("n", alias_name="n_distinct"))
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_fps", alias_name="n_fingerprints"),
+                   Sum("n_distinct", alias_name="n_distinct"))
         .to_pandas()
     )
-    out = doc_agg.merge(distinct, on="lang", how="left")
-    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    for c in ("n_docs", "n_fingerprints", "n_distinct"):
+        out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
 

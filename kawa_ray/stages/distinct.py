@@ -23,6 +23,7 @@ from kawa_ray.functions.minhash import hash64
 def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
                        partitions: int = 64,
                        then: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+                       passthrough_col: str | None = None,
                        ) -> rd.Dataset:
     """Exact distinct rows over ``cols``.
 
@@ -31,6 +32,11 @@ def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
     ``then``, if given, runs per partition on the deduplicated frame —
     fuse the follow-up reduction (e.g. a per-group partial count) into
     the same shuffle instead of paying a second one.
+    ``passthrough_col``, if given, names a bool column: rows where it is
+    True ride the SAME shuffle but skip deduplication (they reach
+    ``then`` verbatim) — lets a caller carry per-batch partial rows
+    through the one exchange instead of materializing the stream to
+    feed two consumers.
     """
     P = partitions
 
@@ -43,7 +49,12 @@ def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
         return df.assign(part=part)
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(cols)
+        if passthrough_col is not None:
+            thru = g[g[passthrough_col]]
+            g = pd.concat([g[~g[passthrough_col]].drop_duplicates(cols), thru],
+                          ignore_index=True)
+        else:
+            g = g.drop_duplicates(cols)
         if then is not None:
             return then(g)
         return g.drop(columns="part")
