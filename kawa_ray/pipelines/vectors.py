@@ -228,26 +228,32 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
         q = np.floor(M * _EMB_QUANT).astype(np.int64)
         bits = (q @ C.T) > 0  # (n, bands*planes) — integer dots, exact
         pows = (1 << np.arange(_EMB_PLANES_PER_BAND)).astype(np.int64)
-        out = {"part": [], "label": [], "band": [], "key": [],
-               "vec_id": [], "vec": []}
-        for band in range(_EMB_BANDS):
-            sl = bits[:, band * _EMB_PLANES_PER_BAND:(band + 1) * _EMB_PLANES_PER_BAND]
-            keys = sl @ pows
-            for r in range(len(ids)):
-                k = int(keys[r])
-                out["part"].append(hash64(f"{labels[r]}:{band}:{k}") % P)
-                out["label"].append(int(labels[r]))
-                out["band"].append(band)
-                out["key"].append(k)
-                out["vec_id"].append(int(ids[r]))
-                out["vec"].append(M[r].tobytes())
+        n = len(ids)
+        # fully vectorised 8x row expansion (round-3 VERDICT item 5: the
+        # per-row Python append loop built 8xN lists per batch): numpy
+        # tile/repeat for the integer columns, one md5 part-hash per
+        # DISTINCT (label, band, key) triple instead of per row
+        keys_nb = bits.reshape(n, _EMB_BANDS, _EMB_PLANES_PER_BAND) @ pows
+        band_out = np.repeat(np.arange(_EMB_BANDS, dtype=np.int64), n)
+        label_out = np.tile(labels, _EMB_BANDS)
+        key_out = keys_nb.T.reshape(-1)  # band-major, aligned with tiles
+        trip = label_out * (_EMB_BANDS * 8) + band_out * 8 + key_out
+        uniq, inv = np.unique(trip, return_inverse=True)
+        u_lbl = uniq // (_EMB_BANDS * 8)
+        u_band = (uniq % (_EMB_BANDS * 8)) // 8
+        u_key = uniq % 8
+        u_part = np.fromiter(
+            (hash64(f"{l}:{b}:{k}") % P
+             for l, b, k in zip(u_lbl.tolist(), u_band.tolist(), u_key.tolist())),
+            dtype=np.int64, count=len(uniq))
+        vb = np.array([m.tobytes() for m in M], dtype=object)
         return pa.table({
-            "part": pa.array(out["part"], pa.int64()),
-            "label": pa.array(out["label"], pa.int64()),
-            "band": pa.array(out["band"], pa.int64()),
-            "key": pa.array(out["key"], pa.int64()),
-            "vec_id": pa.array(out["vec_id"], pa.int64()),
-            "vec": pa.array(out["vec"], pa.binary()),
+            "part": pa.array(u_part[inv]),
+            "label": pa.array(label_out),
+            "band": pa.array(band_out),
+            "key": pa.array(key_out),
+            "vec_id": pa.array(np.tile(ids, _EMB_BANDS)),
+            "vec": pa.array(np.tile(vb, _EMB_BANDS), pa.binary()),
         })
 
     def explode(g: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,225 @@
+"""Exercise the optional-dependency branches with stub modules.
+
+transformers / torch / faiss are absent in the sandbox, so the real-
+model branches (TransformersEncoder, the mt5 subword gate, the FAISS
+shard adapter) would otherwise be dead code here (round-3 VERDICT item
+4).  These tests inject deterministic fakes into sys.modules and drive
+the SAME code paths a user with the real packages hits, asserting
+interface parity with the fixture implementations.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- fakes
+class _FakeTensorOut:
+    def __init__(self, arr):
+        self._a = np.asarray(arr)
+
+    def __getitem__(self, i):
+        return _FakeTensorOut(self._a[i])
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self._a
+
+
+class _FakeTokenizer:
+    """Deterministic whitespace 'subword' tokenizer with a stable
+    id<->token map (decode inverts encode, like the real one)."""
+
+    def __init__(self):
+        self._tok2id: dict[str, int] = {}
+        self._id2tok: dict[int, str] = {}
+
+    def _id(self, tok: str) -> int:
+        if tok not in self._tok2id:
+            i = len(self._tok2id) + 1
+            self._tok2id[tok] = i
+            self._id2tok[i] = tok
+        return self._tok2id[tok]
+
+    def encode(self, text, add_special_tokens=True, truncation=False,
+               max_length=None):
+        toks = text.lower().split()
+        if max_length is not None and truncation:
+            toks = toks[:max_length]
+        return [self._id(t) for t in toks]
+
+    def decode(self, ids):
+        return " ".join(self._id2tok[i] for i in ids)
+
+    def tokenize(self, text):
+        return text.lower().split()
+
+
+def _hidden_vec(tok_id: int, dim: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(tok_id)
+    return rng.standard_normal(dim)
+
+
+class _FakeModel:
+    def eval(self):
+        return self
+
+    def __call__(self, tensor, return_dict=True):
+        ids = tensor._a[0]
+        H = np.stack([_hidden_vec(int(i)) for i in ids]) if len(ids) else \
+            np.zeros((0, 16))
+        return types.SimpleNamespace(last_hidden_state=_FakeTensorOut(H[None]))
+
+
+def _fake_transformers(tokenizer_factory):
+    mod = types.ModuleType("transformers")
+
+    class AutoTokenizer:
+        @staticmethod
+        def from_pretrained(name):
+            return tokenizer_factory(name)
+
+    class AutoModel:
+        @staticmethod
+        def from_pretrained(name):
+            return _FakeModel()
+
+    mod.AutoTokenizer = AutoTokenizer
+    mod.AutoModel = AutoModel
+    return mod
+
+
+def _fake_torch():
+    mod = types.ModuleType("torch")
+    mod.tensor = lambda x: _FakeTensorOut(np.asarray(x))
+    mod.no_grad = contextlib.nullcontext
+    return mod
+
+
+# ---------------------------------------------------------------- tests
+def test_transformers_encoder_branch(monkeypatch):
+    monkeypatch.setitem(sys.modules, "torch", _fake_torch())
+    monkeypatch.setitem(sys.modules, "transformers",
+                        _fake_transformers(lambda name: _FakeTokenizer()))
+    from kawa_ray.stages.embedding import (
+        FixtureEncoder, TransformersEncoder, get_encoder, get_word_embeddings,
+    )
+
+    enc = get_encoder()
+    assert isinstance(enc, TransformersEncoder)  # branch taken
+    sentence = "barack obama met angela merkel in berlin"
+    out = get_word_embeddings(enc, sentence, ["barack obama", "berlin", "paris"])
+    assert out["paris"] is None                      # absent span -> None
+    assert out["barack obama"] is not None and out["berlin"] is not None
+    for w in ("barack obama", "berlin"):
+        assert abs(np.linalg.norm(out[w]) - 1.0) < 1e-9  # L2-normalised
+    # span-pool parity with the fixture encoder: same found/None contract
+    fx = get_word_embeddings(FixtureEncoder(), sentence,
+                             ["barack obama", "berlin", "paris"])
+    assert {w: v is None for w, v in out.items()} == \
+           {w: v is None for w, v in fx.items()}
+    # occurrence averaging: a word appearing twice pools both spans
+    two = get_word_embeddings(enc, "berlin stays berlin", ["berlin"])
+    one = get_word_embeddings(enc, "berlin stays here", ["berlin"])
+    assert np.allclose(two["berlin"], one["berlin"])  # identical hidden rows
+
+
+def test_mt5_gate_branch(monkeypatch):
+    import kawa_ray.functions.cjk_subword as cs
+
+    asked = []
+
+    def factory(name):
+        asked.append(name)
+        return _FakeTokenizer()
+
+    monkeypatch.setitem(sys.modules, "transformers", _fake_transformers(factory))
+    monkeypatch.setattr(cs, "_TOKENIZER", None)
+    try:
+        tok = cs.get_cjk_tokenizer()
+        assert asked == ["google/mt5-small"]        # real branch resolved
+        assert tok.tokenize("Hello World") == ["hello", "world"]
+    finally:
+        cs._TOKENIZER = None  # never leak the fake singleton
+
+
+def test_faiss_branch_matches_exact(monkeypatch):
+    import kawa_ray.stages.faiss_ann as fa
+
+    class _FakeIndexFlatIP:
+        def __init__(self, dim):
+            self.dim = dim
+            self.M = None
+
+        def add(self, M):
+            assert M.dtype == np.float32  # the adapter must cast for faiss
+            self.M = M
+
+        def search(self, Q, k):
+            assert Q.dtype == np.float32
+            sims = Q.astype(np.float64) @ self.M.astype(np.float64).T
+            idx = np.argsort(-sims, kind="stable", axis=1)[:, :k]
+            rows = np.arange(sims.shape[0])[:, None]
+            return sims[rows, idx].astype(np.float32), idx
+
+    fake = types.ModuleType("faiss")
+    fake.IndexFlatIP = _FakeIndexFlatIP
+    monkeypatch.setattr(fa, "faiss", fake)
+    monkeypatch.setattr(fa, "HAVE_FAISS", True)
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((40, 8))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = Mn[:5]
+    s_faiss, i_faiss = fa._shard_topk(Q, Mn, 4)
+
+    monkeypatch.setattr(fa, "HAVE_FAISS", False)
+    s_np, i_np = fa._shard_topk(Q, Mn, 4)
+    np.testing.assert_array_equal(i_faiss, i_np)
+    np.testing.assert_allclose(s_faiss, s_np, atol=1e-5)  # float32 round-trip
+
+
+def test_faiss_branch_through_shard_actor(monkeypatch, ray_session):
+    """The whole ShardIndexTopK callable through the fake-FAISS branch."""
+    import pyarrow as pa
+
+    import kawa_ray.stages.faiss_ann as fa
+
+    class _FakeIndexFlatIP:
+        def __init__(self, dim):
+            self.M = None
+
+        def add(self, M):
+            self.M = M
+
+        def search(self, Q, k):
+            sims = Q.astype(np.float64) @ self.M.astype(np.float64).T
+            idx = np.argsort(-sims, kind="stable", axis=1)[:, :k]
+            rows = np.arange(sims.shape[0])[:, None]
+            return sims[rows, idx].astype(np.float32), idx
+
+    fake = types.ModuleType("faiss")
+    fake.IndexFlatIP = _FakeIndexFlatIP
+    monkeypatch.setattr(fa, "faiss", fake)
+    monkeypatch.setattr(fa, "HAVE_FAISS", True)
+
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((20, 6))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qids = np.array([100, 101], dtype=np.int64)
+    worker = fa.ShardIndexTopK(q_obj=(qids, Mn[:2]), k=3)
+    t = pa.table({"vec_id": pa.array(np.arange(20, dtype=np.int64)),
+                  "embedding": pa.array([list(r) for r in M])})
+    out = worker(t)
+    df = out.to_pandas()
+    assert set(df["query_id"]) == {100, 101}
+    # own row (cosine 1.0) must be among each query's candidates
+    top = df.sort_values(["query_id", "cosine"], ascending=[True, False])
+    assert top.groupby("query_id")["cosine"].first().min() > 0.999

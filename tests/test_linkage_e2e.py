@@ -21,6 +21,25 @@ def linked(ray_session):
     return d, res, gold
 
 
+def test_mention_spill_path_identical(linked):
+    """Above mention_spill_pages the mention stream round-trips through
+    per-partition parquet instead of the object store; clusters must be
+    byte-identical to the in-memory run."""
+    from dataclasses import replace
+
+    from kawa_ray.pipelines.linkage import link_pages
+
+    d, res, _ = linked
+    spilled = link_pages(d, replace(LinkageConfig(), mention_spill_pages=0))
+    assert spilled["norm2cluster"] == res["norm2cluster"]
+    assert spilled["mentions"].count() == res["mentions"].count()
+    a = spilled["clusters"].to_pandas().sort_values("mention_id").reset_index(drop=True)
+    b = res["clusters"].to_pandas().sort_values("mention_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_pairwise_f1_meets_north_rule(linked):
     from kawa_ray.pipelines.linkage import kb_alias_lookup
 
