@@ -1,0 +1,180 @@
+"""Large-scale rehearsal (round-3 VERDICT item 8): run the heaviest
+registry queries at 16x the bench scale (80k docs / 1.6M events,
+deterministically derived from the read-only sf0.1 tables) and record
+wall times at BOTH scales plus per-stage `ds.stats()` skew evidence for
+the partitioned-distinct shuffle — proof the partitioned shapes hold an
+order of magnitude past sf0.1.
+
+Derivation (no external data, fully deterministic): each of the 16
+copies offsets doc_id/event_id/user_id into its own id block; document
+texts get a copy-marker token prepended and every 5th token rewritten
+with the copy index, so near-dup structure scales LINEARLY (within-copy
+dups only) instead of quadratically (16 identical twins per doc would
+measure the cap logic, not the shuffle).
+
+Usage: python -m tools.rehearsal_x16 [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/kawa_ray_rehearsal_x16"
+COPIES = 16
+
+
+def build_tables() -> None:
+    os.makedirs(DST, exist_ok=True)
+    doc_p = os.path.join(DST, "documents.parquet")
+    ev_p = os.path.join(DST, "events.parquet")
+    if not os.path.exists(doc_p):
+        t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+        n = t.num_rows
+        parts = []
+        for c in range(COPIES):
+            ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+            texts = t.column("text").to_pylist()
+            if c:
+                mut = []
+                for txt in texts:
+                    toks = txt.split()
+                    toks = [f"c{c}x{tok}" if i % 5 == 0 else tok
+                            for i, tok in enumerate(toks)]
+                    mut.append(f"copy{c} " + " ".join(toks))
+                texts = mut
+            parts.append(pa.table({
+                "doc_id": pa.array(ids + c * 10_000_000),
+                "text": pa.array(texts, pa.string()),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }))
+        pq.write_table(pa.concat_tables(parts), doc_p)
+        print(f"wrote {doc_p}: {n * COPIES} docs")
+    if not os.path.exists(ev_p):
+        t = pq.read_table(os.path.join(SRC, "events.parquet"))
+        parts = []
+        for c in range(COPIES):
+            eid = np.asarray(t.column("event_id").to_pylist(), dtype=np.int64)
+            uid = np.asarray(t.column("user_id").to_pylist(), dtype=np.int64)
+            parts.append(pa.table({
+                "event_id": pa.array(eid + c * 100_000_000),
+                "ts": t.column("ts"),
+                "user_id": pa.array(uid + c * 10_000_000),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "props": t.column("props"),
+            }))
+        pq.write_table(pa.concat_tables(parts), ev_p)
+        print(f"wrote {ev_p}: {t.num_rows * COPIES} events")
+
+
+def winnow_shuffle_stats(sf_dir: str) -> dict:
+    """Stats-instrumented partitioned-distinct chain (the winnow fp
+    stream): per-partition output block rows give the skew evidence."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kawa_ray.pipelines.docs import _winnow_selected
+    from kawa_ray.stages.distinct import partition_distinct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"])
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        sels = _winnow_selected(t, 8, 4)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        counts = np.fromiter((s.size for s in sels), dtype=np.int64,
+                             count=len(sels))
+        fp = (np.concatenate(sels) if sels else np.empty(0, np.uint64))
+        return pa.table({
+            "lang": pa.array(np.repeat(langs, counts), pa.string()),
+            "fp": pa.array((fp ^ np.uint64(1 << 63)).view(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per partition: its id and its deduped row count
+        return pd.DataFrame({"part": [int(g["part"].iloc[0])],
+                             "part_rows": [len(g)]})
+
+    shuffled = partition_distinct(
+        ds.map_batches(fp_rows, batch_format="pyarrow"),
+        ["lang", "fp"], key_col="fp", then=fold).materialize()
+    sizes = shuffled.to_pandas().set_index("part")["part_rows"]
+    # straggler factor over the 64 hash partitions of the fp stream
+    return {
+        "n_partitions": int(len(sizes)),
+        "rows_min": int(sizes.min()),
+        "rows_max": int(sizes.max()),
+        "rows_mean": round(float(sizes.mean()), 1),
+        "straggler_factor": round(float(sizes.max() / max(sizes.mean(), 1)), 3),
+    }
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        DST, "rehearsal.json")
+    build_tables()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kawa_ray.pipelines.builder import user_pagerank
+    from kawa_ray.pipelines.docs import (
+        doc_winnow_fingerprints,
+        minhash_dedup_docs,
+        minhash_keep_best,
+        ngram_jaccard_dedup_docs,
+    )
+    from kawa_ray.pipelines.substring_dedup import doc_substring_dup_census
+
+    queries = [
+        ("minhash_dedup_docs", minhash_dedup_docs),
+        ("minhash_keep_best", minhash_keep_best),
+        ("ngram_jaccard_dedup_docs", ngram_jaccard_dedup_docs),
+        ("doc_substring_dup_census", doc_substring_dup_census),
+        ("doc_winnow_fingerprints", doc_winnow_fingerprints),
+        ("user_pagerank", user_pagerank),
+    ]
+    res: dict = {"copies": COPIES, "queries": {}}
+    for name, fn in queries:
+        t0 = time.perf_counter()
+        small = fn(SRC)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big = fn(DST)
+        t_big = time.perf_counter() - t0
+        res["queries"][name] = {
+            "sf0.1_sec": round(t_small, 2),
+            "x16_sec": round(t_big, 2),
+            "time_ratio": round(t_big / max(t_small, 1e-9), 2),
+            "rows_small": int(len(small)),
+            "rows_big": int(len(big)),
+        }
+        print(name, res["queries"][name], flush=True)
+
+    res["winnow_shuffle_sf0.1"] = winnow_shuffle_stats(SRC)
+    res["winnow_shuffle_x16"] = winnow_shuffle_stats(DST)
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
