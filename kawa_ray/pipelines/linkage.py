@@ -33,12 +33,17 @@ _ARTIFACT_CACHE: dict[str, object] = {}
 def _pool_size(requested: int) -> int:
     """Actor-pool size that always leaves CPUs for upstream read/task
     operators — a pool that reserves every CPU starves the producers and
-    the pipeline stalls (ray_guide 'Stateful stages')."""
+    the pipeline stalls (ray_guide 'Stateful stages').  The reserve is
+    sized to the cluster (1 CPU up to 8, 2 above): a flat reserve of 2
+    left only 50% of a 4-CPU cluster detecting, which showed up as fake
+    super-linear 4->16 scaling (detect-CPU-normalised throughput was
+    equal at 4 and 8 CPUs — BASELINE.md round-4 analysis)."""
     try:
         total = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         total = 4
-    return max(1, min(requested, total - 2 if total >= 4 else total - 1))
+    reserve = 1 if total <= 8 else 2
+    return max(1, min(requested, total - reserve))
 
 
 def default_artifacts(n_entities: int = 300):
