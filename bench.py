@@ -163,8 +163,15 @@ def run_scaling() -> dict:
     # the knee (<=16 CPUs) is the faithful proxy for the north rule's
     # N-vs-4N-node criterion; the 8->32 pair is still recorded in
     # BASELINE.md alongside it each round.
-    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
-    lo, hi = int(levels[0]), int(levels[1])
+    raw = os.environ.get("GRAFT_SCALING_LEVELS", "4,16")
+    try:
+        levels = [int(x) for x in raw.split(",")]
+    except ValueError:
+        levels = []
+    if len(levels) != 2 or not (0 < levels[0] < levels[1]):
+        raise SystemExit(
+            f"GRAFT_SCALING_LEVELS must be 'lo,hi' with 0 < lo < hi, got {raw!r}")
+    lo, hi = levels
     lo_runs = [one(lo), one(lo)]
     hi_runs = [one(hi), one(hi)]
     r_lo = min(lo_runs, key=lambda r: r["value"])

@@ -73,6 +73,39 @@ def md5_low64_many(strings) -> np.ndarray:
     return uh[codes]
 
 
+def md5_low64_per_doc(doc_grams, chunk_grams: int = 1 << 18) -> list[np.ndarray]:
+    """Hash per-doc gram lists with the same batch dedup, in BOUNDED
+    chunks: at most ~``chunk_grams`` gram strings are alive at once.
+    Accumulating a whole Arrow batch's grams before hashing holds
+    hundreds of MB of transient strings for fat-document blocks — this
+    keeps peak memory ~16 MB per task while retaining most of the dedup
+    win (gram repetition is dominated by within-doc/nearby-doc reuse).
+    ``doc_grams`` is an iterable of per-doc string lists; returns one
+    np.uint64 array per doc, aligned."""
+    out: list[np.ndarray] = []
+    buf: list[str] = []
+    lens: list[int] = []
+
+    def flush() -> None:
+        if not lens:
+            return
+        all_h = md5_low64_many(buf)
+        off = 0
+        for ln in lens:
+            out.append(all_h[off:off + ln])
+            off += ln
+        buf.clear()
+        lens.clear()
+
+    for gs in doc_grams:
+        buf.extend(gs)
+        lens.append(len(gs))
+        if len(buf) >= chunk_grams:
+            flush()
+    flush()
+    return out
+
+
 def char_shingles(s: str, k: int = 3) -> list[str]:
     if len(s) <= k:
         return [s] if s else []

@@ -479,26 +479,21 @@ def _candidate_gram_sets(sf_dir: str, ids: set | None, n: int) -> rd.Dataset:
         return t.filter(pc.is_in(t.column("doc_id"), pa.array(want, pa.int64())))
 
     def grams(t: pa.Table) -> pa.Table:
-        from kawa_ray.functions.minhash import md5_low64_many
+        from kawa_ray.functions.minhash import md5_low64_per_doc
 
-        out_id, spans, all_grams = [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            toks = _WS.split(text.lower().strip()) if text.strip() else []
-            gs = list(word_ngrams(toks, n))
-            out_id.append(doc_id)
-            spans.append(len(gs))
-            all_grams.extend(gs)
-        # one batch-deduped md5 pass over every doc's grams
-        all_h = md5_low64_many(all_grams)
-        out_g, off = [], 0
-        for ln in spans:
-            hs = np.unique(all_h[off:off + ln])
-            off += ln
-            # packed uint64 blob: survives pandas<->arrow round-trips that
-            # mangle ragged list columns (Ray TensorArray)
-            out_g.append(hs.astype("<u8").tobytes())
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+        texts = t.column("text").to_pylist()
+
+        def per_doc():
+            for text in texts:
+                toks = _WS.split(text.lower().strip()) if text.strip() else []
+                yield list(word_ngrams(toks, n))
+
+        # batch-deduped md5 in bounded chunks; packed uint64 blobs
+        # survive pandas<->arrow round-trips that mangle ragged list
+        # columns (Ray TensorArray)
+        out_g = [np.unique(hs).astype("<u8").tobytes()
+                 for hs in md5_low64_per_doc(per_doc())]
+        return pa.table({"doc_id": t.column("doc_id"),
                          "grams": pa.array(out_g, pa.binary())})
 
     return (
@@ -706,21 +701,18 @@ def ngram_jaccard_dedup_docs(sf_dir: str, n: int = 3, threshold: float = 0.8,
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def keys(t: pa.Table) -> pa.Table:
-        from kawa_ray.functions.minhash import md5_low64_many
+        from kawa_ray.functions.minhash import md5_low64_per_doc
 
         df = t.to_pandas()
-        docs, all_grams = [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            toks = _WS.split(text.lower().strip()) if text.strip() else []
-            gs = list(set(word_ngrams(toks, n)))
-            docs.append((doc_id, len(gs)))
-            all_grams.extend(gs)
-        all_h = md5_low64_many(all_grams)  # batch-deduped md5 pass
-        out_doc, out_key, off = [], [], 0
-        for doc_id, ln in docs:
-            hs = np.sort(all_h[off:off + ln])
-            off += ln
-            for h in hs[:n_keys].tolist():
+
+        def per_doc():
+            for text in df["text"]:
+                toks = _WS.split(text.lower().strip()) if text.strip() else []
+                yield list(set(word_ngrams(toks, n)))
+
+        out_doc, out_key = [], []
+        for doc_id, hs in zip(df["doc_id"], md5_low64_per_doc(per_doc())):
+            for h in np.sort(hs)[:n_keys].tolist():
                 out_doc.append(doc_id)
                 out_key.append(h)
         return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
@@ -1027,32 +1019,43 @@ SIMHASH_DEDUP_SQL = _simhash_sql()
 
 def _winnow_selected(t: pa.Table, k: int, w: int) -> list[np.ndarray]:
     """Per-doc winnowing fingerprints for one Arrow batch: md5-low64
-    every k-char gram (batch-deduped hashing — md5_low64_many), min of
-    each sliding window of ``w`` gram hashes, distinct mins per doc."""
+    every k-char gram (batch-deduped hashing in bounded chunks —
+    md5_low64_per_doc), min of each sliding window of ``w`` gram
+    hashes, distinct mins per doc."""
     from numpy.lib.stride_tricks import sliding_window_view
 
-    from kawa_ray.functions.minhash import md5_low64_many
+    from kawa_ray.functions.minhash import md5_low64_per_doc
 
     texts = t.column("text").to_pylist()
-    spans: list[int] = []
-    grams: list[str] = []
-    for text in texts:
-        n_grams = len(text) - k + 1
-        if n_grams < w:
-            spans.append(0)
-            continue
-        spans.append(n_grams)
-        grams.extend(text[i:i + k] for i in range(n_grams))
-    all_h = md5_low64_many(grams)
-    sels, off = [], 0
-    for n_grams in spans:
-        if n_grams == 0:
-            sels.append(np.empty(0, dtype=np.uint64))
-            continue
-        hs = all_h[off:off + n_grams]
-        off += n_grams
-        sels.append(np.unique(sliding_window_view(hs, w).min(axis=1)))
-    return sels
+
+    def per_doc():
+        for text in texts:
+            n_grams = len(text) - k + 1
+            yield ([text[i:i + k] for i in range(n_grams)]
+                   if n_grams >= w else [])
+
+    return [
+        (np.unique(sliding_window_view(hs, w).min(axis=1))
+         if hs.size else np.empty(0, dtype=np.uint64))
+        for hs in md5_low64_per_doc(per_doc())
+    ]
+
+
+def winnow_fp_columns(t: pa.Table, k: int, w: int):
+    """Shared '(lang, fp-int64) row columns' construction over a batch's
+    winnowing selections — used by doc_winnow_fingerprints AND the
+    rehearsal skew instrument (tools/rehearsal_x16.py) so the instrument
+    always measures the production stream.  Returns
+    (langs, counts, sels, fp_int64): per-doc langs/selection counts, the
+    per-doc selection arrays, and the concatenated int64-shifted
+    fingerprints (top bit flipped — Ray's aggregate path can't carry
+    uint64 > 2^63; the shift preserves distinctness)."""
+    sels = _winnow_selected(t, k, w)
+    langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    counts = np.fromiter((s.size for s in sels), dtype=np.int64,
+                         count=len(sels))
+    fp = (np.concatenate(sels) if sels else np.empty(0, np.uint64))
+    return langs, counts, sels, (fp ^ np.uint64(1 << 63)).view(np.int64)
 
 
 def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
@@ -1075,25 +1078,17 @@ def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4):
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
 
     def fused(t: pa.Table) -> pa.Table:
-        sels = _winnow_selected(t, k, w)
-        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
-        counts = np.fromiter((s.size for s in sels), dtype=np.int64,
-                             count=len(sels))
-        fp = (np.concatenate(sels) if sels else np.empty(0, np.uint64))
+        langs, counts, _sels, fp_i64 = winnow_fp_columns(t, k, w)
         # per-batch doc partials (one row per lang in the batch)
         df = pd.DataFrame({"lang": langs, "n": counts})
         g = (df.groupby("lang", sort=False)["n"]
              .agg(n_docs="size", n_fps="sum").reset_index())
-        n_f, n_d = len(fp), len(g)
-        # int64-shifted (top bit flipped): Ray's aggregate path can't
-        # carry uint64 > 2^63; the shift preserves distinctness
+        n_f, n_d = len(fp_i64), len(g)
         return pa.table({
             "lang": pa.array(np.concatenate([np.repeat(langs, counts),
                                              g["lang"].to_numpy(object)]),
                              pa.string()),
-            "fp": pa.array(np.concatenate([
-                (fp ^ np.uint64(1 << 63)).view(np.int64),
-                np.zeros(n_d, np.int64)])),
+            "fp": pa.array(np.concatenate([fp_i64, np.zeros(n_d, np.int64)])),
             "is_doc": pa.array([False] * n_f + [True] * n_d),
             "n_docs": pa.array(np.concatenate([np.zeros(n_f, np.int64),
                                                g["n_docs"].to_numpy(np.int64)])),

@@ -69,16 +69,19 @@ def er_extract_check(sf_dir: str):
 
 def er_mention_stats(sf_dir: str):
     """Mentions per NER label (detection + regex extractors)."""
-    _, res = _linked(sf_dir)
+    pages_dir, res = _linked(sf_dir)
     df = res["mentions"].select_columns(["label"]).to_pandas()
     out = df.groupby("label").size().reset_index(name="n_mentions")
     out = out.sort_values("label").reset_index(drop=True)
     got = set(out["label"])
-    # the labels every scale of the synthetic corpus is guaranteed to
-    # carry: roster entity types (lexicon detection) + regex extractors
-    core = {"PERSON", "PUBLIC_FIGURE", "ORG", "GPE", "PRODUCT",
-            "EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS"}
-    gate(core <= got, "detection lost a core NER label entirely",
+    # scale-aware gate: detection must cover every label the GOLD set
+    # actually carries at this scale (hard-coding regex-typed labels
+    # like EMAIL_ADDRESS would false-fire on a tiny corpus where no
+    # hash-selected contact page exists)
+    gold = pq.read_table(os.path.join(pages_dir, "gold_mentions.parquet"),
+                         columns=["label"])
+    core = set(gold.column("label").to_pylist())
+    gate(core <= got, "detection lost a gold NER label entirely",
          missing=sorted(core - got))
     gate(bool((out["n_mentions"] > 0).all()), "zero-mention label row emitted")
     return out
@@ -469,7 +472,9 @@ def er_salting_report(sf_dir: str):
     p_unsalted = gold_labeled_pairs(gold, unsalted, ent_of)
     pos_s = {(a, b) for a, b, _k, same in p_salted if same}
     pos_u = {(a, b) for a, b, _k, same in p_unsalted if same}
-    retained = len(pos_s & pos_u) / max(len(pos_u), 1)
+    # retention of an empty positive set is vacuously 1.0 (a tiny corpus
+    # with no unsalted positive pairs must not trip the gate)
+    retained = len(pos_s & pos_u) / len(pos_u) if pos_u else 1.0
     # the salting trade must stay bounded: it may only REMOVE pair volume
     # and must keep nearly all positive recall (observed 1.0 at sf0.01)
     gate(retained >= 0.95, "salting dropped too many positive pairs",
@@ -483,9 +488,7 @@ def er_salting_report(sf_dir: str):
             "labeled_pairs_salted": [len(p_salted)],
             "positive_pairs_unsalted": [len(pos_u)],
             "positive_pairs_salted": [len(pos_s)],
-            "positive_recall_retained": [
-                round(len(pos_s & pos_u) / max(len(pos_u), 1), 4)
-            ],
+            "positive_recall_retained": [round(retained, 4)],
             "pair_volume_ratio": [
                 round(len(p_salted) / max(len(p_unsalted), 1), 4)
             ],
@@ -517,9 +520,10 @@ def er_context_embeddings(sf_dir: str):
             "c0": [round(float(matrix[norm2row[n]][0]), 4) for n in norms],
         }
     )
-    # inlined pytest gates (test_embedding_stage): artifact covers the
-    # corpus vocabulary and every span-pooled vector is L2-normalised
-    gate(len(out) > 50, "context-embedding artifact nearly empty", n=len(out))
+    # inlined pytest gates (test_embedding_stage): artifact non-empty
+    # (no absolute vocabulary floor — that would false-fire on corpora
+    # smaller than the tested scales) and every vector L2-normalised
+    gate(len(out) > 0, "context-embedding artifact is empty")
     gate(bool(((out["l2"] - 1.0).abs() <= 1e-3).all()),
          "span-pooled vectors are not L2-normalised",
          l2_min=float(out["l2"].min()), l2_max=float(out["l2"].max()))

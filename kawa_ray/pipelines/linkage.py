@@ -268,13 +268,27 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
             return ds.materialize()
         import shutil
         import tempfile
+        import time
 
         from kawa_ray.pipelines.linkage_ckpt import config_fingerprint
 
+        root = os.path.join(tempfile.gettempdir(), "kawa_ray_mention_spill")
+        os.makedirs(root, exist_ok=True)
+        # best-effort GC of spills from finished runs (consumers stream
+        # from the dir lazily after link_pages returns, so a run cannot
+        # delete its own spill at exit; age is the safe proxy)
+        cutoff = time.time() - 24 * 3600
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+        # unique dir PER RUN (mkdtemp): two concurrent same-config runs
+        # must never rmtree a spill the other is still streaming from
         fp = config_fingerprint(cfg, n_entities, pages_dir)
-        spill = os.path.join(tempfile.gettempdir(), "kawa_ray_mention_spill", fp)
-        shutil.rmtree(spill, ignore_errors=True)
-        os.makedirs(spill, exist_ok=True)
+        spill = tempfile.mkdtemp(prefix=f"{fp}-", dir=root)
         ds.write_parquet(spill)
         return rd.read_parquet(spill)
     if cfg.embedding_source == "context":

@@ -59,31 +59,28 @@ def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
             cols["start"].append(start)
             cols["kind"].append(kind)
 
-        # phase 1: collect every doc's gram strings; phase 2: ONE
-        # batch-deduped md5 pass (md5_low64_many — repeated grams across
-        # docs hash once); phase 3: per-doc winnowing over hash slices
-        from kawa_ray.functions.minhash import md5_low64_many
+        # batch-deduped md5 in bounded chunks (md5_low64_per_doc —
+        # repeated grams hash once, peak gram-string memory capped),
+        # then per-doc winnowing over the aligned hash arrays
+        from kawa_ray.functions.minhash import md5_low64_per_doc
 
-        docs, all_grams = [], []
-        for doc_id, lang, text in zip(t.column("doc_id").to_pylist(),
-                                      t.column("lang").to_pylist(),
-                                      t.column("text").to_pylist()):
-            toks = _WS.split(text.strip()) if text.strip() else []
+        doc_ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        tok_lists = [_WS.split(x.strip()) if x.strip() else [] for x in texts]
+
+        def per_doc():
+            for toks in tok_lists:
+                n_grams = len(toks) - k + 1
+                yield ([" ".join(toks[i:i + k]) for i in range(n_grams)]
+                       if n_grams >= w else [])
+
+        for doc_id, lang, toks, hs in zip(doc_ids, langs, tok_lists,
+                                          md5_low64_per_doc(per_doc())):
             n = len(toks)
-            n_grams = n - k + 1
-            span = n_grams if n_grams >= w else 0
-            docs.append((doc_id, lang, n, span))
-            if span:
-                all_grams.extend(" ".join(toks[i:i + k])
-                                 for i in range(n_grams))
-        all_h = md5_low64_many(all_grams)
-        off = 0
-        for doc_id, lang, n, span in docs:
             push(doc_id, lang, n, 0, -1, "d")
-            if not span:
+            if not hs.size:
                 continue
-            hs = all_h[off:off + span]
-            off += span
             win = sliding_window_view(hs, w)
             mins = win.min(axis=1)
             # first-argmin -> absolute gram position (SQL: MIN(i) at wmin)

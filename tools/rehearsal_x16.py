@@ -83,21 +83,19 @@ def winnow_shuffle_stats(sf_dir: str) -> dict:
     import pandas as pd
     import ray.data as rd
 
-    from kawa_ray.pipelines.docs import _winnow_selected
+    from kawa_ray.pipelines.docs import winnow_fp_columns
     from kawa_ray.stages.distinct import partition_distinct
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "lang", "text"])
 
     def fp_rows(t: pa.Table) -> pa.Table:
-        sels = _winnow_selected(t, 8, 4)
-        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
-        counts = np.fromiter((s.size for s in sels), dtype=np.int64,
-                             count=len(sels))
-        fp = (np.concatenate(sels) if sels else np.empty(0, np.uint64))
+        # the PRODUCTION fp-row construction (shared helper) — the skew
+        # instrument must measure the exact stream the query shuffles
+        langs, counts, _sels, fp_i64 = winnow_fp_columns(t, 8, 4)
         return pa.table({
             "lang": pa.array(np.repeat(langs, counts), pa.string()),
-            "fp": pa.array((fp ^ np.uint64(1 << 63)).view(np.int64)),
+            "fp": pa.array(fp_i64),
         })
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
