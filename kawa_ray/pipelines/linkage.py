@@ -257,8 +257,10 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
     ent_of = kb_alias_lookup(embed_obj, n_entities) if cfg.kb_blocking else None
     pages = read_pages(pages_dir)
 
-    def pin_mentions(ds: rd.Dataset) -> rd.Dataset:
-        """The mention stream feeds nodes AND the final attach: below
+    def pin_or_spill(ds: rd.Dataset, tag: str) -> rd.Dataset:
+        """A multi-consumer corpus-sized stream (the mention stream
+        feeding nodes AND the final attach; the context branch's
+        extracted texts feeding embedding AND detection): below
         ``mention_spill_pages`` pin it in the object store; above, write
         per-partition parquet under /tmp and re-read — consumers then
         STREAM from disk instead of holding a corpus-sized intermediate
@@ -288,7 +290,7 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
         # unique dir PER RUN (mkdtemp): two concurrent same-config runs
         # must never rmtree a spill the other is still streaming from
         fp = config_fingerprint(cfg, n_entities, pages_dir)
-        spill = tempfile.mkdtemp(prefix=f"{fp}-", dir=root)
+        spill = tempfile.mkdtemp(prefix=f"{tag}-{fp}-", dir=root)
         ds.write_parquet(spill)
         return rd.read_parquet(spill)
     if cfg.embedding_source == "context":
@@ -300,19 +302,20 @@ def link_pages(pages_dir: str, cfg: LinkageConfig | None = None,
         from kawa_ray.state.lang_resources import target_lexicons_by_lang
         from kawa_ray.stages.embedding import context_embedding_artifact
 
-        texts = extract_stage(pages).materialize()
+        texts = pin_or_spill(extract_stage(pages), "texts")
         embed_obj = context_embedding_artifact(
             None, lexicon, concurrency=_pool_size(cfg.detect_concurrency),
             texts_ds=texts,
         )
         lex_ref = ray.put(lexicon.to_bytes())
-        mentions = pin_mentions(mention_stage(
+        mentions = pin_or_spill(mention_stage(
             texts, lex_ref, batch_size=cfg.detect_batch_size,
             concurrency=_pool_size(cfg.detect_concurrency),
             lang_lexicons=target_lexicons_by_lang(n_entities),
-        ))
+        ), "mentions")
     else:
-        mentions = pin_mentions(detect_mentions(pages, cfg, lexicon, n_entities))
+        mentions = pin_or_spill(
+            detect_mentions(pages, cfg, lexicon, n_entities), "mentions")
     nodes = build_nodes(mentions).materialize()
     if nodes.count() <= cfg.driver_pair_threshold:
         # the whole post-mention graph phase lives in the distinct-surface

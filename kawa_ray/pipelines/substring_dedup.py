@@ -48,16 +48,24 @@ def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
     P = _PAIR_PARTITIONS
 
-    def emit(t: pa.Table) -> pa.Table:
-        cols = {c: [] for c in ("doc_id", "lang", "n_tokens", "fp", "start", "kind")}
+    # TWO streaming passes, NO materialize (the round-4 winnow shape):
+    # the doc/token census pass only SPLITS tokens — no md5 — so the
+    # expensive gram hashing runs exactly once, in the occurrence pass,
+    # and the occurrence stream (corpus x 2/W-per-token rows, the big
+    # intermediate) flows straight into its fp-partition shuffle instead
+    # of being pinned in the object store for two consumers.
+    def doc_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_toks = [len(_WS.split(x.strip())) if x.strip() else 0 for x in texts]
+        df = pd.DataFrame({"lang": t.column("lang").to_pylist(), "n": n_toks})
+        g = (df.groupby("lang", sort=False)["n"]
+             .agg(n_docs="size", total_tokens="sum").reset_index())
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n_docs": pa.array(g["n_docs"], pa.int64()),
+                         "total_tokens": pa.array(g["total_tokens"], pa.int64())})
 
-        def push(doc_id, lang, n_tokens, fp, start, kind):
-            cols["doc_id"].append(doc_id)
-            cols["lang"].append(lang)
-            cols["n_tokens"].append(n_tokens)
-            cols["fp"].append(fp)
-            cols["start"].append(start)
-            cols["kind"].append(kind)
+    def emit_occ(t: pa.Table) -> pa.Table:
+        cols = {c: [] for c in ("doc_id", "lang", "fp", "start")}
 
         # batch-deduped md5 in bounded chunks (md5_low64_per_doc —
         # repeated grams hash once, peak gram-string memory capped),
@@ -75,10 +83,8 @@ def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
                 yield ([" ".join(toks[i:i + k]) for i in range(n_grams)]
                        if n_grams >= w else [])
 
-        for doc_id, lang, toks, hs in zip(doc_ids, langs, tok_lists,
-                                          md5_low64_per_doc(per_doc())):
-            n = len(toks)
-            push(doc_id, lang, n, 0, -1, "d")
+        for doc_id, lang, hs in zip(doc_ids, langs,
+                                    md5_low64_per_doc(per_doc())):
             if not hs.size:
                 continue
             win = sliding_window_view(hs, w)
@@ -92,31 +98,23 @@ def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
             for f, p in zip(sel_fp.tolist(), pos.tolist()):
                 if (f, p) not in seen:
                     seen.add((f, p))
-                    push(doc_id, lang, 0, f, p, "o")
+                    cols["doc_id"].append(doc_id)
+                    cols["lang"].append(lang)
+                    cols["fp"].append(f)
+                    cols["start"].append(p)
         return pa.table({
             "doc_id": pa.array(cols["doc_id"], pa.int64()),
             "lang": pa.array(cols["lang"], pa.string()),
-            "n_tokens": pa.array(cols["n_tokens"], pa.int64()),
             "fp": pa.array(cols["fp"], pa.int64()),
             "start": pa.array(cols["start"], pa.int64()),
-            "kind": pa.array(cols["kind"], pa.string()),
         })
-
-    mixed = ds.map_batches(emit, batch_format="pyarrow").materialize()
-
-    def keep(kind: str):
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.filter(pc.equal(t.column("kind"), kind))
-        return f
 
     # per-lang doc/token totals over ALL docs (corpus-space, distributed)
     lang_tot = (
-        mixed.map_batches(keep("d"), batch_format="pyarrow")
+        ds.map_batches(doc_partial, batch_format="pyarrow")
         .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"),
-                   Sum("n_tokens", alias_name="total_tokens"))
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_tokens", alias_name="total_tokens"))
         .to_pandas()
     )
 
@@ -129,7 +127,7 @@ def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
         return kept.reset_index(drop=True)
 
     flagged = (
-        mixed.map_batches(keep("o"), batch_format="pyarrow")
+        ds.map_batches(emit_occ, batch_format="pyarrow")
         .map_batches(lambda df: df.assign(part=df["fp"].to_numpy() % P),
                      batch_format="pandas")
         .groupby("part")
