@@ -1,0 +1,129 @@
+"""Operators over the north-rule input table itself (pages:
+url/warc_ts/html/text/lang — BASELINE.json input_hint): the standard
+Common-Crawl-pipeline censuses that precede any content work.
+
+Both queries are fully vectorised (pyarrow compute / pandas datetime
+kernels inside map_batches, per-batch partials, one tiny groupby) and
+carry exact DuckDB oracles that recompute over the same parquet files
+(the EXTRA pytest tier runs at sf0.001; the oracle SQL is built at
+import against that corpus's path, mirroring er_word2ner_stats's
+build-at-import pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from kawa_ray.sources.pages import ensure_pages, sf_of_dir
+
+# the reference regex for the host part; shared verbatim with the SQL
+# oracle (both engines evaluate RE2-compatible syntax identically)
+_DOMAIN_RE = r"^https://([^/]+)/"
+_TOP_N = 20
+
+
+def _read(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    pages_dir = ensure_pages(sf_of_dir(sf_dir))
+    return rd.read_parquet(os.path.join(pages_dir, "pages"), columns=columns)
+
+
+def page_domain_census(sf_dir: str) -> pd.DataFrame:
+    """Top-20 crawl domains: pages + distinct languages per host.
+
+    Shape: per-batch (domain, lang) pair counts — domain x lang is
+    bounded (sites x langs), far below page cardinality — then one
+    groupby over the pair partials; the top-k cut happens on the
+    already-tiny per-domain frame."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # host = element 2 of ['https:', '', host, ...] — zero-copy arrow
+        # split, equivalent to the oracle's regexp_extract group 1 for
+        # the corpus's https://host/... URLs (a malformed URL fails
+        # loudly here and in the oracle alike)
+        parts = pc.split_pattern(t.column("url"), "/", max_splits=3)
+        dom = pc.list_element(parts, 2)
+        df = pd.DataFrame({
+            "domain": dom.to_pylist(),
+            "lang": t.column("lang").to_pylist(),
+        })
+        g = df.groupby(["domain", "lang"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        _read(sf_dir, ["url", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["domain", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = pairs.groupby("domain").agg(
+        n_pages=("n", "sum"), n_langs=("lang", "nunique")).reset_index()
+    out = out.sort_values(["n_pages", "domain"],
+                          ascending=[False, True]).head(_TOP_N)
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def crawl_hourly_census(sf_dir: str) -> pd.DataFrame:
+    """Pages per crawl hour-of-day (warc_ts) x language — the crawl-rate
+    profile.  Per-batch partials (<= 24 x langs rows), one groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(hour=df["warc_ts"].dt.hour.astype("int64"))
+             .groupby(["hour", "lang"], sort=False).size().reset_index(name="n"))
+        return g
+
+    out = (
+        _read(sf_dir, ["warc_ts", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["hour", "lang"])
+        .aggregate(Sum("n", alias_name="n_pages"))
+        .to_pandas()
+    )
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values(["hour", "lang"]).reset_index(drop=True)
+
+
+def _pages_path_sql() -> str:
+    """read_parquet source over the sf0.001 corpus (the EXTRA tier's
+    fixed scale), generated-if-needed at import."""
+    d = ensure_pages("0.001")
+    return os.path.join(d, "pages", "*.parquet").replace("'", "''")
+
+
+def _domain_sql() -> str:
+    return f"""
+WITH pages AS (
+  SELECT url, lang FROM read_parquet('{_pages_path_sql()}')
+), d AS (
+  SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, lang FROM pages
+)
+SELECT domain, COUNT(*) AS n_pages,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM d GROUP BY domain
+ORDER BY n_pages DESC, domain ASC
+LIMIT {_TOP_N}
+"""
+
+
+def _hourly_sql() -> str:
+    return f"""
+SELECT CAST(EXTRACT(hour FROM warc_ts) AS BIGINT) AS hour, lang,
+       COUNT(*) AS n_pages
+FROM read_parquet('{_pages_path_sql()}')
+GROUP BY 1, 2 ORDER BY hour, lang
+"""
+
+
+PAGE_DOMAIN_CENSUS_SQL = _domain_sql()
+CRAWL_HOURLY_CENSUS_SQL = _hourly_sql()

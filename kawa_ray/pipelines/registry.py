@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -209,6 +209,10 @@ EXTRA_QUERIES = {
     "docs_clean_dedup_census": clean_corpus.docs_clean_dedup_census,
     # Bloom-gated decontamination (sketch gate + exact verify)
     "decontam_overlap_bloom": textqual.decontam_overlap_bloom,
+    # censuses over the north-rule input table itself (pages:
+    # url/warc_ts/lang — the CC-pipeline pre-content steps)
+    "page_domain_census": pages_ops.page_domain_census,
+    "crawl_hourly_census": pages_ops.crawl_hourly_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -248,6 +252,8 @@ EXTRA_ORACLE_SQL = {
     # exact-output operator: the Bloom gate only prunes, the exact set
     # decides — same oracle as the exact variant
     "decontam_overlap_bloom": textqual.DECONTAM_SQL,
+    "page_domain_census": pages_ops.PAGE_DOMAIN_CENSUS_SQL,
+    "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
