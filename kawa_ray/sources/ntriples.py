@@ -100,7 +100,10 @@ def ntriples_census(sf_dir: str):
         m["subject"] = m["subject"].astype("int64")
         return m
 
-    parsed = lines.map_batches(parse, batch_format="pandas").materialize()
+    # two streaming passes over the lazy read+parse (line-splittable
+    # gzip + one vectorised regex — cheaper to re-run than to pin the
+    # triple-table-sized stream in the object store for two consumers)
+    parsed = lines.map_batches(parse, batch_format="pandas")
 
     # total triples per token: per-batch partials, driver fold (vocab-sized)
     n_tri: dict[str, int] = {}
@@ -190,7 +193,8 @@ def jsonl_roundtrip_census(sf_dir: str):
         ).reset_index()
         return g
 
-    ds = ds.materialize()
+    # two streaming passes over the lazy read (line-splittable gzip —
+    # re-reading beats pinning the event-table-sized stream)
     n: dict[str, int] = {}
     vs: dict[str, int] = {}
     for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
