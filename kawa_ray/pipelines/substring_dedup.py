@@ -43,6 +43,28 @@ K_TOKENS = 8   # tokens per gram
 W_WINDOW = 4   # winnow window (grams); detects runs >= K_TOKENS + W_WINDOW - 1
 
 
+def winnow_select(hs: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Robust-winnowing selection over one doc's gram-hash array: for
+    every full window of ``w`` consecutive gram hashes keep (window min,
+    absolute gram position of its first argmin).  Pure kernel shared by
+    the pipeline and tests/test_properties.py, where the Schleimer et
+    al. guarantee — any shared token run of >= k + w - 1 tokens yields
+    a shared selected fingerprint regardless of alignment — is
+    hypothesis-tested directly against this function.
+
+    Returns ``(sel_fp, pos)``: the int64-shifted fingerprint per window
+    (top bit xor — Ray aggregates can't carry uint64 > 2^63;
+    distinctness, all downstream stages need, survives) and the
+    selected absolute position per window (SQL parity: MIN(i) at wmin).
+    Callers dedupe repeated (fp, pos) pairs across overlapping windows.
+    """
+    win = sliding_window_view(hs, w)
+    mins = win.min(axis=1)
+    pos = win.argmin(axis=1) + np.arange(win.shape[0])
+    sel_fp = (mins ^ np.uint64(1 << 63)).view(np.int64)
+    return sel_fp, pos
+
+
 def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
     """-> per-lang (lang, n_docs, total_tokens, docs_with_dups, dup_tokens)."""
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
@@ -87,13 +109,7 @@ def doc_substring_dup_census(sf_dir: str, k: int = K_TOKENS, w: int = W_WINDOW):
                                     md5_low64_per_doc(per_doc())):
             if not hs.size:
                 continue
-            win = sliding_window_view(hs, w)
-            mins = win.min(axis=1)
-            # first-argmin -> absolute gram position (SQL: MIN(i) at wmin)
-            pos = win.argmin(axis=1) + np.arange(win.shape[0])
-            # int64-shift (top bit xor): Ray aggregates can't carry
-            # uint64 > 2^63; distinctness (all this stage needs) survives
-            sel_fp = (mins ^ np.uint64(1 << 63)).view(np.int64)
+            sel_fp, pos = winnow_select(hs, w)
             seen = set()
             for f, p in zip(sel_fp.tolist(), pos.tolist()):
                 if (f, p) not in seen:

@@ -185,3 +185,77 @@ class TestWinnowProperty:
             fast = set(np.unique(sliding_window_view(
                 np.array(hs, dtype=np.uint64), w).min(axis=1)).tolist())
             assert fast == brute
+
+
+class TestWinnowDetectionGuarantee:
+    """The Schleimer-et-al guarantee the substring-dedup operator's
+    docstring claims (substring_dedup.py): ANY shared token run of
+    >= K_TOKENS + W_WINDOW - 1 tokens yields a shared selected
+    fingerprint, regardless of how the two copies are aligned.
+    Hypothesis-tested against the production kernel (winnow_select),
+    not a reimplementation."""
+
+    @staticmethod
+    def _occ(tokens, k, w):
+        """Distinct (fp, pos) occurrence pairs for one doc — exactly the
+        rows substring_dedup's emit_occ emits per document."""
+        import numpy as np
+
+        from kawa_ray.functions.minhash import md5_low64_per_doc
+        from kawa_ray.pipelines.substring_dedup import winnow_select
+
+        n_grams = len(tokens) - k + 1
+        if n_grams < w:
+            return set()
+        grams = [" ".join(tokens[i:i + k]) for i in range(n_grams)]
+        (hs,) = md5_low64_per_doc([grams])
+        fp, pos = winnow_select(hs, w)
+        return set(zip(fp.tolist(), pos.tolist()))
+
+    # tiny alphabet + short tokens: repeated grams and hash-tie-like
+    # structure appear often, the adversarial regime for winnowing
+    _tok = st.text(st.sampled_from("ab"), min_size=1, max_size=2)
+    _pad = st.lists(_tok, min_size=0, max_size=16)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def test_cross_doc_shared_run_always_shares_a_fingerprint(self, data):
+        from kawa_ray.pipelines.substring_dedup import K_TOKENS, W_WINDOW
+
+        run_len = data.draw(st.integers(K_TOKENS + W_WINDOW - 1,
+                                        K_TOKENS + W_WINDOW + 9))
+        run = data.draw(st.lists(self._tok, min_size=run_len, max_size=run_len))
+        a1, a2 = data.draw(self._pad), data.draw(self._pad)
+        b1, b2 = data.draw(self._pad), data.draw(self._pad)
+        doc_a = a1 + run + a2
+        doc_b = b1 + run + b2
+        fps_a = {f for f, _ in self._occ(doc_a, K_TOKENS, W_WINDOW)}
+        fps_b = {f for f, _ in self._occ(doc_b, K_TOKENS, W_WINDOW)}
+        assert fps_a & fps_b, (doc_a, doc_b)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def test_within_doc_repeat_always_flaggable(self, data):
+        """A run planted twice in ONE doc yields the same fingerprint at
+        two distinct positions — exactly what stage 2's count >= 2 flag
+        needs to fire for within-doc repeats."""
+        from kawa_ray.pipelines.substring_dedup import K_TOKENS, W_WINDOW
+
+        run_len = data.draw(st.integers(K_TOKENS + W_WINDOW - 1,
+                                        K_TOKENS + W_WINDOW + 9))
+        run = data.draw(st.lists(self._tok, min_size=run_len, max_size=run_len))
+        p1, p2, p3 = (data.draw(self._pad) for _ in range(3))
+        doc = p1 + run + p2 + run + p3
+        occ = self._occ(doc, K_TOKENS, W_WINDOW)
+        by_fp: dict = {}
+        for f, p in occ:
+            by_fp.setdefault(f, set()).add(p)
+        assert any(len(ps) >= 2 for ps in by_fp.values()), doc
+
+    def test_short_docs_select_nothing(self):
+        from kawa_ray.pipelines.substring_dedup import K_TOKENS, W_WINDOW
+
+        # one token short of the guarantee bound with no repetition:
+        # fewer than W full windows exist, the operator's gate skips it
+        toks = [f"t{i}" for i in range(K_TOKENS + W_WINDOW - 2)]
+        assert self._occ(toks, K_TOKENS, W_WINDOW) == set()
