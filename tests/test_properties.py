@@ -259,3 +259,38 @@ class TestWinnowDetectionGuarantee:
         # fewer than W full windows exist, the operator's gate skips it
         toks = [f"t{i}" for i in range(K_TOKENS + W_WINDOW - 2)]
         assert self._occ(toks, K_TOKENS, W_WINDOW) == set()
+
+
+class TestBatchDedupHashingIdentity:
+    """md5_low64_many / md5_low64_per_doc claim 'bit-identical to direct
+    md5_low64, just fewer calls' — the property the winnow / substring /
+    gram-set SQL oracles depend on.  Verified for arbitrary inputs,
+    including duplicate-heavy lists and the chunked per-doc path across
+    its flush boundary."""
+
+    _gram = st.text(st.sampled_from("abc "), min_size=0, max_size=6)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(_gram, min_size=0, max_size=60))
+    def test_many_matches_direct(self, strings):
+        import numpy as np
+
+        from kawa_ray.functions.minhash import md5_low64, md5_low64_many
+
+        got = md5_low64_many(strings)
+        assert got.dtype == np.uint64
+        assert got.tolist() == [md5_low64(s) for s in strings]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.lists(_gram, max_size=12), max_size=8),
+           st.integers(min_value=1, max_value=8))
+    def test_per_doc_matches_direct_across_chunk_boundaries(
+            self, docs, chunk):
+        from kawa_ray.functions.minhash import md5_low64, md5_low64_per_doc
+
+        # tiny chunk_grams forces mid-stream flushes, the path a fat
+        # production batch takes
+        out = md5_low64_per_doc(docs, chunk_grams=chunk)
+        assert len(out) == len(docs)
+        for gs, hs in zip(docs, out):
+            assert hs.tolist() == [md5_low64(g) for g in gs]
