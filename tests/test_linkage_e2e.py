@@ -218,3 +218,40 @@ def test_bcubed_reaches_blocking_ceiling(linked):
     norms = sorted(set(gold.column("norm").to_pylist()))
     ceiling = bcubed_scores(gold, union_find_components(same, norms))
     assert m["b3_f1"] >= ceiling["b3_f1"] - 1e-9, (m, ceiling)
+
+
+def test_component_paths_agree_on_random_graph(ray_session):
+    """Driver union-find vs broadcast label propagation on a seeded
+    random graph (path chains for diameter + random cross edges +
+    a self-loop isolate) — the 6-edge fixtures above pin the API, this
+    pins the algorithm on adversarial component structure.  The
+    bucketed variant agrees too (verified off-suite: 91 s of fixed
+    per-round shuffle overhead is too slow for CI at this size; in-suite
+    it is covered by its fixture test and by the dedup-census
+    paths-agree tests, which run it over real corpus edges)."""
+    import numpy as np
+    import ray.data as rd
+
+    from kawa_ray.stages.clustering import (
+        label_propagation_components,
+        union_find_components,
+    )
+
+    rng = np.random.default_rng(7)
+    edges: list[tuple[str, str]] = []
+    # path chains of length 5 (diameter stress within round budget)
+    for c in range(4):
+        chain = [f"p{c}_{i:02d}" for i in range(6)]
+        edges += list(zip(chain, chain[1:]))
+    # random cross edges over a 40-node pool (many small merged comps)
+    pool = [f"r{i:02d}" for i in range(40)]
+    for _ in range(25):
+        a, b = rng.choice(len(pool), size=2, replace=False)
+        edges.append((pool[a], pool[b]))
+    edges += [("iso1", "iso1"), ("iso2", "iso2")]
+
+    want = union_find_components(edges)
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    lp = {r["node"]: r["label"]
+          for r in label_propagation_components(ds).take_all()}
+    assert lp == want
