@@ -112,9 +112,18 @@ def run_bench() -> dict:
             ("minhash_keep_best", docs.minhash_keep_best),
             ("user_pagerank", builder.user_pagerank),
         ):
-            t = time.time()
-            fn(sf_dir)
-            queries[name] = round(time.time() - t, 3)
+            # best-of-2 per operator: single-run timings swing +-30% with
+            # residual box load (measured; the headline is best-of-3 for
+            # the same reason), which reads as fake regressions round
+            # over round.  GRAFT_QUERY_RUNS=1 restores the quick sweep.
+            q_runs = int(os.environ.get("GRAFT_QUERY_RUNS", "2"))
+            best = None
+            for _ in range(max(1, q_runs)):
+                t = time.time()
+                fn(sf_dir)
+                dt = time.time() - t
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
 
     out = {
         "metric": "linkage_e2e_sec",
