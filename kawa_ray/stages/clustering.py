@@ -162,7 +162,7 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20):
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min
 
     edges = edges_ds.select_columns(["a", "b"]).materialize()
 
@@ -209,14 +209,24 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20):
         def tag(g: pd.DataFrame) -> pd.DataFrame:
             lbl = g["lbl"].dropna()
             if lbl.empty:
-                return pd.DataFrame({"nbr": [], "cand": []})
+                return pd.DataFrame({"nbr": [], "cand": [], "old": []})
             lbl = lbl.min()
             nbrs = g["nbr"].dropna().tolist()
             # candidates: the node's label flows to every neighbour AND
-            # stays as the node's own candidate (min with itself)
+            # stays as the node's own candidate (min with itself).  The
+            # self row also carries the node's CURRENT label in ``old``
+            # so the convergence check rides the same aggregation.
+            # Neighbour rows carry the empty-string sentinel: "" sorts
+            # before every string, so Max(old) over the group recovers
+            # exactly the one self row's label (each adjacency node has
+            # exactly one label row; a node literally named "" is still
+            # correct — its min-member label can only be "").  A None
+            # sentinel would NaN-poison Ray's Min/Max on object blocks.
             node = g["node"].iloc[0]
             return pd.DataFrame(
-                {"nbr": nbrs + [node], "cand": [lbl] * (len(nbrs) + 1)}
+                {"nbr": nbrs + [node],
+                 "cand": [lbl] * (len(nbrs) + 1),
+                 "old": [""] * len(nbrs) + [lbl]}
             )
 
         cands = (
@@ -226,36 +236,23 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20):
         )
         new_labels = (
             cands.groupby("nbr")
-            .aggregate(Min("cand", alias_name="lbl"))
+            .aggregate(Min("cand", alias_name="lbl"),
+                       Max("old", alias_name="old"))
             .map_batches(
                 lambda df: df.rename(columns={"nbr": "node"}), batch_format="pandas"
             )
             .materialize()
         )
-        # convergence: count nodes whose label changed (tiny aggregate via
-        # the same union-group trick, no driver download)
-        old_rows = labels.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "old": df["lbl"], "new": [None] * len(df)}),
+        # convergence: per-batch changed counts computed remotely, tiny
+        # scalar sum on the driver — old rode the aggregation, so the
+        # label-table-sized third shuffle of the previous shape is gone
+        # (2 all-to-alls per round instead of 3)
+        n_changed = new_labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"c": [int((df["lbl"] != df["old"]).sum())]}),
             batch_format="pandas",
-        )
-        new_rows = new_labels.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "old": [None] * len(df), "new": df["lbl"]}),
-            batch_format="pandas",
-        )
-
-        def changed(g: pd.DataFrame) -> pd.DataFrame:
-            old = g["old"].dropna()
-            new = g["new"].dropna()
-            ch = int(old.empty or new.empty or old.iloc[0] != new.iloc[0])
-            return pd.DataFrame({"changed": [ch]})
-
-        n_changed = (
-            old_rows.union(new_rows)
-            .groupby("node")
-            .map_groups(changed, batch_format="pandas")
-            .aggregate(Sum("changed"))["sum(changed)"]
-        )
-        labels = new_labels
+        ).sum("c")
+        labels = new_labels.select_columns(["node", "lbl"])
         if not n_changed:
             break
     return labels
