@@ -141,29 +141,36 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
     return labels
 
 
-def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20):
+def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
+                                          partitions: int = 64):
     """Broadcast-free distributed connected components (hash-to-min).
 
-    Each round is TWO dataset-only shuffles — no driver-held or broadcast
-    label table, so it holds at graphs whose node space exceeds worker
-    memory (the scale path for S6; the broadcast variant above is the
-    mid-size path, driver union-find the small path — all three proven
-    equivalent in tests):
+    Each round is TWO hash-partition shuffles — no driver-held or
+    broadcast label table, so it holds at graphs whose node space
+    exceeds worker memory (the scale path for S6; the broadcast variant
+    above is the mid-size path, driver union-find the small path — all
+    three proven equivalent in tests, incl. a seeded random graph):
 
-      1. join labels onto edge endpoints by unioning label rows
-         (node, lbl) with edge rows (node, nbr) and grouping by node —
-         every member of the group inherits the node's current label;
-      2. group the emitted (nbr, candidate_label) rows by nbr taking the
-         min — hash-to-min propagation.
-
-    Convergence check is a tiny aggregate (count of changed labels), not
-    a driver download of the label table.
+      1. partition label rows (node, lbl) and edge rows (node, nbr) by
+         hash(node) — co-located, so an in-batch pandas groupby tags
+         every edge with its node's current label (cost per PARTITION,
+         not per node: Ray's map_groups/aggregate pay ~1.5-2 ms per
+         distinct key, the stages/distinct.py rule);
+      2. partition the emitted (nbr, candidate_label) rows by hash(nbr),
+         in-batch groupby-min — hash-to-min propagation.  The node's
+         own current label rides along in ``old`` (empty-string
+         sentinel on neighbour rows; "" sorts before every string, so
+         max() recovers exactly the one self row's label), making the
+         convergence check a remote per-batch partial count + scalar
+         sum instead of a third label-table shuffle.
     """
     import pandas as pd
     import pyarrow as pa
-    import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
+    from kawa_ray.functions.minhash import hash64
+    from kawa_ray.stages.distinct import partition_distinct
+
+    P = partitions
     edges = edges_ds.select_columns(["a", "b"]).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -179,74 +186,68 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20):
         )
 
     adj = edges.map_batches(explode, batch_format="pyarrow").materialize()
-    # initial labels: node -> node (distinct via groupby-min of self rows)
-    labels = (
-        adj.map_batches(
-            lambda t: pa.table({"node": t.column("node"), "lbl": t.column("node")}),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
-    )
+    # initial labels: node -> node, via the shared partitioned distinct
+    # (node-cardinality keys must never go through per-key aggregates)
+    labels = partition_distinct(
+        adj.map_batches(lambda t: pa.table({"node": t.column("node")}),
+                        batch_format="pyarrow"),
+        ["node"], key_col="node", partitions=P,
+        then=lambda g: g[["node"]].assign(lbl=g["node"]),
+    ).materialize()
+
+    def _part_of(s: pd.Series) -> list[int]:
+        return [hash64(str(x)) % P for x in s]
 
     for _ in range(max_rounds):
-        # 1. tag each adjacency row with its node's current label: union the
-        #    label rows (nbr=None sentinel) with edge rows, group by node
+        # 1. co-locate each node's label row with its adjacency rows
         lab_rows = labels.map_batches(
             lambda df: pd.DataFrame(
-                {"node": df["node"], "nbr": [None] * len(df), "lbl": df["lbl"]}
+                {"node": df["node"], "nbr": [None] * len(df),
+                 "lbl": df["lbl"], "part": _part_of(df["node"])}
             ),
             batch_format="pandas",
         )
         edge_rows = adj.map_batches(
             lambda df: pd.DataFrame(
-                {"node": df["node"], "nbr": df["nbr"], "lbl": [None] * len(df)}
+                {"node": df["node"], "nbr": df["nbr"],
+                 "lbl": [None] * len(df), "part": _part_of(df["node"])}
             ),
             batch_format="pandas",
         )
 
-        def tag(g: pd.DataFrame) -> pd.DataFrame:
-            lbl = g["lbl"].dropna()
-            if lbl.empty:
-                return pd.DataFrame({"nbr": [], "cand": [], "old": []})
-            lbl = lbl.min()
-            nbrs = g["nbr"].dropna().tolist()
-            # candidates: the node's label flows to every neighbour AND
-            # stays as the node's own candidate (min with itself).  The
-            # self row also carries the node's CURRENT label in ``old``
-            # so the convergence check rides the same aggregation.
-            # Neighbour rows carry the empty-string sentinel: "" sorts
-            # before every string, so Max(old) over the group recovers
-            # exactly the one self row's label (each adjacency node has
-            # exactly one label row; a node literally named "" is still
-            # correct — its min-member label can only be "").  A None
-            # sentinel would NaN-poison Ray's Min/Max on object blocks.
-            node = g["node"].iloc[0]
+        def tag_part(g: pd.DataFrame) -> pd.DataFrame:
+            # per-node current label (exactly one label row per node,
+            # co-located by the partition hash)
+            m = g.dropna(subset=["lbl"]).groupby("node", sort=False)["lbl"].min()
+            e = g[g["nbr"].notna()]
+            cand = m.reindex(e["node"]).to_numpy()
             return pd.DataFrame(
-                {"nbr": nbrs + [node],
-                 "cand": [lbl] * (len(nbrs) + 1),
-                 "old": [""] * len(nbrs) + [lbl]}
+                {"nbr": e["nbr"].tolist() + m.index.tolist(),
+                 "cand": list(cand) + m.tolist(),
+                 "old": [""] * len(e) + m.tolist()}
             )
 
         cands = (
             lab_rows.union(edge_rows)
-            .groupby("node")
-            .map_groups(tag, batch_format="pandas")
+            .groupby("part")
+            .map_groups(tag_part, batch_format="pandas")
         )
+
+        def min_part(g: pd.DataFrame) -> pd.DataFrame:
+            agg = (g.groupby("nbr", sort=False)
+                   .agg(lbl=("cand", "min"), old=("old", "max"))
+                   .reset_index())
+            return agg.rename(columns={"nbr": "node"})
+
         new_labels = (
-            cands.groupby("nbr")
-            .aggregate(Min("cand", alias_name="lbl"),
-                       Max("old", alias_name="old"))
-            .map_batches(
-                lambda df: df.rename(columns={"nbr": "node"}), batch_format="pandas"
-            )
+            cands.map_batches(
+                lambda df: df.assign(part=_part_of(df["nbr"])),
+                batch_format="pandas")
+            .groupby("part")
+            .map_groups(min_part, batch_format="pandas")
             .materialize()
         )
-        # convergence: per-batch changed counts computed remotely, tiny
-        # scalar sum on the driver — old rode the aggregation, so the
-        # label-table-sized third shuffle of the previous shape is gone
-        # (2 all-to-alls per round instead of 3)
+        # convergence: remote per-batch partials, one scalar on the driver
         n_changed = new_labels.map_batches(
             lambda df: pd.DataFrame(
                 {"c": [int((df["lbl"] != df["old"]).sum())]}),
