@@ -74,13 +74,22 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
 
     ``edges_ds``: Dataset with string cols (a, b).  Returns a Dataset
     (node, component).  Each round: explode edges both directions,
-    groupby(node).min(neighbor_label) -> new labels; stop when no label
-    changed.  Rounds = O(component diameter); every round is one shuffle
-    (SURVEY.md §7.5.3).
+    broadcast-relabel, hash-partition by node + in-batch groupby-min ->
+    new labels; stop when no label changed.  Rounds = O(component
+    diameter); every round is one shuffle (SURVEY.md §7.5.3).  This is
+    the MID-SIZE path (the label table is broadcast and downloaded per
+    round, so node space must fit a worker); the bucketed variant below
+    is the scale path.  The min-merge shuffles on a hash PARTITION of
+    the node, never per distinct node (~1.5-2 ms/key dispatch, the
+    stages/distinct.py rule).
     """
     import pyarrow as pa
     import ray
 
+    from kawa_ray.functions.minhash import hash64
+    from kawa_ray.stages.distinct import partition_distinct
+
+    P = 64
     edges = edges_ds.select_columns(["a", "b"]).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -97,13 +106,13 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
 
     # labels start as the node's own name; each round a node adopts the min
     # of (its label, neighbours' labels)
-    labels = (
+    labels = partition_distinct(
         edges.map_batches(explode, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(lambda g: g.head(1)[["node"]].assign(label=g["node"].iloc[0]),
-                    batch_format="pandas")
-        .materialize()
-    )
+        .map_batches(lambda t: pa.table({"node": t.column("node")}),
+                     batch_format="pyarrow"),
+        ["node"], key_col="node", partitions=P,
+        then=lambda g: g[["node"]].assign(label=g["node"]),
+    ).materialize()
     for _ in range(max_rounds):
         # join edge endpoints with current labels (broadcast: label table is
         # node-space sized; at true scale this becomes a bucketed join)
@@ -119,15 +128,17 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
                 {
                     "node": pa.array(node, pa.string()),
                     "cand": pa.array([min(l[n], l[m]) for n, m in zip(node, nbr)], pa.string()),
+                    "part": pa.array([hash64(n) % P for n in node], pa.int64()),
                 }
             )
 
         new_labels = (
             edges.map_batches(explode, batch_format="pyarrow")
             .map_batches(relabel, batch_format="pyarrow")
-            .groupby("node")
+            .groupby("part")
             .map_groups(
-                lambda g: pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["cand"].min()]}),
+                lambda g: (g.groupby("node", sort=False)["cand"].min()
+                           .rename("label").reset_index()),
                 batch_format="pandas",
             )
             .materialize()
