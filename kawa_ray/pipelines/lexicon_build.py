@@ -180,16 +180,25 @@ def build_lexicon_distributed(
             batch_format="pyarrow",
         ).materialize()  # reused by the vote AND bounds branches
 
-        votes = (
-            emitted.groupby(["key", "bucket"])
-            .map_groups(_vote_group, batch_format="pandas")
-            .to_pandas()  # lexicon-key sized
-        )
-        bounds = (
-            emitted.groupby("prefix")
-            .map_groups(_bounds_group, batch_format="pandas")
-            .to_pandas()
-        )
+        # keys/prefixes are lexicon-cardinality: hash-partitioned reduce
+        # (the stages/distinct.py rule), with the order-sensitive
+        # per-group folds run in-batch — partitioning on "key" alone
+        # co-locates every (key, bucket) group
+        from kawa_ray.stages.distinct import partition_reduce
+
+        def _votes_part(g: pd.DataFrame) -> pd.DataFrame:
+            frames = [_vote_group(sub) for _, sub in
+                      g.groupby(["key", "bucket"], sort=False)]
+            return pd.concat(frames, ignore_index=True)
+
+        def _bounds_part(g: pd.DataFrame) -> pd.DataFrame:
+            frames = [_bounds_group(sub) for _, sub in
+                      g.groupby("prefix", sort=False)]
+            return pd.concat(frames, ignore_index=True)
+
+        votes = partition_reduce(
+            emitted, "key", _votes_part).to_pandas()  # lexicon-key sized
+        bounds = partition_reduce(emitted, "prefix", _bounds_part).to_pandas()
 
         # assemble the level dict exactly like _build_level
         level: dict = {

@@ -16,7 +16,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from kawa_ray.config import LinkageConfig
 from kawa_ray.sources.roster import alias_embedding_table, build_roster, roster_word2ner
@@ -109,22 +108,21 @@ def build_nodes(mentions: rd.Dataset, driver_threshold: int = 2_000_000) -> rd.D
     combiner bounds hot-key skew).  The combiner output lives in
     distinct-norms x blocks space — usually tiny relative to the corpus —
     so below ``driver_threshold`` rows the final merge runs once on the
-    driver; above it, a distributed groupby (coalesced to ~CPU blocks so
-    per-block shuffle overhead stays off the critical path)."""
+    driver; above it, a hash-partitioned merge (norm is distinct-surface
+    cardinality, so a per-distinct-key Ray aggregate would pay the
+    ~2 ms/key dispatch cost — the stages/distinct.py rule)."""
+    from kawa_ray.stages.distinct import partition_reduce
+
     partials = mentions.map_batches(partial_node_agg, batch_format="pyarrow").materialize()
     if partials.count() <= driver_threshold:
         df = partials.to_pandas()
         out = df.groupby("norm", sort=False, as_index=False)["n"].sum()
         out = out.rename(columns={"n": "n_mentions"})
         return rd.from_pandas(out)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return (
-        partials.repartition(cpus)
-        .groupby("norm")
-        .aggregate(Sum("n", alias_name="n_mentions"))
+    return partition_reduce(
+        partials, "norm",
+        lambda g: (g.groupby("norm", sort=False, as_index=False)["n"].sum()
+                   .rename(columns={"n": "n_mentions"})),
     )
 
 
@@ -168,11 +166,19 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
         except Exception:
             cpus = 4
         partitions = max(1, min(2 * cpus, n_keyed // 4096 + 1))
-    # first-pass block-size census (small: one row per distinct block key)
-    sizes = keyed.groupby("block_key").aggregate(Sum("n_mentions", alias_name="members"))
+    # first-pass block-size census: block_key is data-cardinality, so it
+    # goes through the hash-partitioned reduce (never a per-key Ray
+    # aggregate); only the hot rows (> threshold, a tiny set) leave it
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def _hot_blocks(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("block_key", sort=False, as_index=False)["n_mentions"]
+             .sum().rename(columns={"n_mentions": "members"}))
+        return s[s["members"] > cfg.hot_key_threshold]
+
     hot = {
         r["block_key"]: int(r["members"])
-        for r in sizes.filter(expr=f"members > {cfg.hot_key_threshold}").take_all()
+        for r in partition_reduce(keyed, "block_key", _hot_blocks).take_all()
     }
 
     def salt(batch: pd.DataFrame, _p=partitions) -> pd.DataFrame:

@@ -323,12 +323,21 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 
 
 def top_users_by_value(sf_dir: str):
+    # user_id is data-cardinality: hash-partitioned sums (the
+    # stages/distinct.py rule), per-partition top-10 (each user is whole
+    # in one partition, so the global top-10 survives), tiny driver merge
+    from kawa_ray.stages.distinct import partition_reduce
+
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    out = (
-        ds.groupby("user_id").aggregate(Sum("value", alias_name="total"))
-        .to_pandas()
-    )
-    out["total"] = out["total"].round(2)
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("user_id", sort=False, as_index=False)["value"].sum()
+             .rename(columns={"value": "total"}))
+        s["total"] = s["total"].round(2)
+        return s.sort_values(["total", "user_id"],
+                             ascending=[False, True]).head(10)
+
+    out = partition_reduce(ds, "user_id", part_top).to_pandas()
     return (
         out.sort_values(["total", "user_id"], ascending=[False, True]).head(10).reset_index(drop=True)
     )
@@ -343,19 +352,20 @@ FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10
 def events_dedup_first(sf_dir: str):
     """Exact dedup keep-first: hash-partition groupby + head(1)
     (SURVEY.md §2.6 'exact dedup = hash-partition + per-group first')."""
+    from kawa_ray.stages.distinct import partition_reduce
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
+    # partition on user_id (co-locates every (user, type) group); the
+    # keep-first runs as one in-batch sort + grouped head per partition
+    def first_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        g = g.groupby(["user_id", "event_type"], sort=False).head(1)
         return g[["user_id", "event_type", "event_id"]].rename(
             columns={"event_id": "first_event_id"}
         )
 
-    out = (
-        ds.groupby(["user_id", "event_type"])
-        .map_groups(first_row, batch_format="pandas")
-        .to_pandas()
-    )
+    out = partition_reduce(ds, "user_id", first_rows).to_pandas()
     return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
 
 
@@ -376,22 +386,28 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     (no window op in the reference, composed here as
     groupby(user).map_groups over time-sorted rows; the oracle uses SQL
     LAG/SUM windows)."""
+    from kawa_ray.stages.distinct import partition_reduce
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        session_id = (gaps > gap_minutes * 60).cumsum()
-        counts = session_id.value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(session_id.nunique())],
-                "max_session_events": [int(counts.max())],
-            }
-        )
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorised across the partition's users: a session break is a
+        # user change OR an over-gap step (ties/zero gaps never break,
+        # matching the per-user fold)
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gaps = g["ts"].diff().dt.total_seconds()
+        sid = (new_user | (gaps > gap_minutes * 60)).cumsum()
+        sizes = g.assign(sid=sid).groupby(["user_id", "sid"], sort=False).size()
+        out = (sizes.groupby(level=0)
+               .agg(n_sessions="size", max_session_events="max")
+               .reset_index())
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["max_session_events"] = out["max_session_events"].astype("int64")
+        return out
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = partition_reduce(ds, "user_id", sessions_part).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -665,18 +681,19 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         return pa.Table.from_pandas(df.groupby("user_id", sort=False).head(k),
                                     preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = range(1, len(g) + 1)
+    def final_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+        g = g.groupby("user_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("user_id", sort=False).cumcount() + 1
         return g[["user_id", "rank", "event_id", "value"]]
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()
-    )
+    from kawa_ray.stages.distinct import partition_reduce
+
+    out = partition_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", final_part,
+    ).to_pandas()
     return out.sort_values(["user_id", "rank"]).reset_index(drop=True)
 
 
@@ -1046,13 +1063,14 @@ def events_pivot(sf_dir: str):
         g.columns = ["user_id"] + [f"n_{t}" for t in _EVENT_TYPES]
         return g
 
-    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(*aggs)
-        .to_pandas()
-    )
+    from kawa_ray.stages.distinct import partition_reduce
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+    out = partition_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        lambda g: g.groupby("user_id", sort=False, as_index=False)[cols].sum(),
+    ).to_pandas()
     for t in _EVENT_TYPES:
         out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")

@@ -20,6 +20,37 @@ import ray.data as rd
 from kawa_ray.functions.minhash import hash64
 
 
+def partition_reduce(ds: rd.Dataset, key_col: str,
+                     fn: Callable[[pd.DataFrame], pd.DataFrame],
+                     partitions: int = 64) -> rd.Dataset:
+    """Hash-partition on ``key_col`` and run ``fn`` once per PARTITION.
+
+    The replacement for ``groupby(<data-cardinality key>).aggregate()``
+    / ``.map_groups()``: those pay the per-distinct-key dispatch cost
+    documented at the top of this module; this pays per partition.
+    All rows of one key co-locate (int keys partition by value, others
+    by ``hash64(str(key))``), so ``fn`` sees every row of each of its
+    keys and must reduce the groups internally (an in-batch pandas
+    groupby).  The ``part`` column is dropped before ``fn`` runs.
+    """
+    P = partitions
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col]
+        if k.dtype.kind in "iu":
+            part = k.to_numpy("int64") % P
+        else:
+            part = [hash64(str(x)) % P for x in k]
+        return df.assign(part=part)
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: fn(g.drop(columns="part")),
+                    batch_format="pandas")
+    )
+
+
 def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
                        partitions: int = 64,
                        then: Callable[[pd.DataFrame], pd.DataFrame] | None = None,

@@ -255,3 +255,24 @@ def test_component_paths_agree_on_random_graph(ray_session):
     lp = {r["node"]: r["label"]
           for r in label_propagation_components(ds).take_all()}
     assert lp == want
+
+
+def test_build_nodes_paths_agree(ray_session):
+    """The hash-partitioned distributed node merge (driver_threshold=0)
+    must equal the driver-side merge row for row."""
+    from kawa_ray.pipelines.linkage import (
+        build_nodes, default_artifacts, detect_mentions, read_pages,
+    )
+    from kawa_ray.config import LinkageConfig
+    from kawa_ray.sources.pages import ensure_pages
+
+    pages_dir = ensure_pages("0.001")
+    lexicon, _ = default_artifacts()
+    mentions = detect_mentions(
+        read_pages(pages_dir), LinkageConfig(), lexicon).materialize()
+    drv = build_nodes(mentions).to_pandas()
+    dist = build_nodes(mentions, driver_threshold=0).to_pandas()
+    key = ["norm", "n_mentions"]
+    assert (drv[key].sort_values(key).reset_index(drop=True)
+            .equals(dist[key].sort_values(key).reset_index(drop=True)))
+    assert len(drv) > 0
