@@ -81,24 +81,29 @@ def majority_event_type(sf_dir: str):
             .rename_columns(["user_id", "event_type", "n"])
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n_events"))
-    )
+    # user_id is data-cardinality: ONE hash-partitioned shuffle merges
+    # the per-batch partial counts AND takes the vote in-batch (the
+    # stages/distinct.py per-key rule; the old shape paid two per-key
+    # Ray ops — a (user,type) aggregate then a per-user map_groups)
+    from kawa_ray.stages.distinct import partition_reduce
 
-    def vote(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_events", "event_type"], ascending=[False, True])
-        top = g.iloc[0]
+    def vote_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], sort=False, as_index=False)
+             ["n"].sum().rename(columns={"n": "n_events"}))
+        c = c.sort_values(["user_id", "n_events", "event_type"],
+                          ascending=[True, False, True])
+        top = c.groupby("user_id", sort=False).head(1)
         return pd.DataFrame(
             {
-                "user_id": [int(top["user_id"])],
-                "majority_type": [top["event_type"]],
-                "n_events": [int(top["n_events"])],
+                "user_id": top["user_id"].astype("int64"),
+                "majority_type": top["event_type"],
+                "n_events": top["n_events"].astype("int64"),
             }
         )
 
-    out = counts.groupby("user_id").map_groups(vote, batch_format="pandas").to_pandas()
+    out = partition_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", vote_part
+    ).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
