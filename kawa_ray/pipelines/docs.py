@@ -140,21 +140,32 @@ def exact_dedup_docs(sf_dir: str):
         df["fingerprint"] = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in df["text"]]
         return pa.Table.from_pandas(df[["doc_id", "lang", "fingerprint"]], preserve_index=False)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "survivor": [int(g["doc_id"].iloc[0])],
-             "n_dups": [len(g) - 1]}
-        )
+    # fingerprint is corpus-cardinality: hash-partitioned keep-first
+    # (the stages/distinct.py per-key rule), with the per-lang census
+    # folded in-batch so only (lang, partials) leave the shuffle
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def keep_first_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fingerprint", "doc_id"])
+        sizes = g.groupby("fingerprint", sort=False)["doc_id"].transform("size")
+        first = g.groupby("fingerprint", sort=False).head(1)
+        n_dups = sizes.loc[first.index] - 1
+        per_lang = (pd.DataFrame({"lang": first["lang"], "n_dups": n_dups})
+                    .groupby("lang", as_index=False)
+                    .agg(n_survivors=("n_dups", "size"),
+                         n_duplicates=("n_dups", "sum")))
+        return per_lang
 
     out = (
-        ds.map_batches(key, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .map_groups(keep_first, batch_format="pandas")
+        partition_reduce(ds.map_batches(key, batch_format="pyarrow"),
+                         "fingerprint", keep_first_part)
         .groupby("lang")
-        .aggregate(Count(alias_name="n_survivors"), Sum("n_dups", alias_name="n_duplicates"))
+        .aggregate(Sum("n_survivors", alias_name="n_survivors"),
+                   Sum("n_duplicates", alias_name="n_duplicates"))
         .to_pandas()
     )
+    out["n_survivors"] = out["n_survivors"].astype("int64")
+    out["n_duplicates"] = out["n_duplicates"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
 

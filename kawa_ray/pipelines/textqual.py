@@ -497,10 +497,17 @@ def top_tokens_mg(sf_dir: str, k: int = 5, capacity: int = 64):
             return pd.DataFrame({"lang": langs_u[li], "token": toks_u[ti],
                                  "cnt": counts})
 
+        # token is vocabulary-cardinality: hash-partition on token (all
+        # langs of a token co-locate), merge counts in-batch
+        from kawa_ray.stages.distinct import partition_reduce
+
         exact = (
-            ds.map_batches(full_counts, batch_format="pandas")
-            .groupby(["lang", "token"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
+            partition_reduce(
+                ds.map_batches(full_counts, batch_format="pandas"),
+                "token",
+                lambda g: g.groupby(["lang", "token"], sort=False,
+                                    as_index=False)["cnt"].sum(),
+            )
             .to_pandas()
         ).sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
         topk = exact.groupby("lang").head(k).reset_index(drop=True)
