@@ -39,7 +39,6 @@ def page_domain_census(sf_dir: str) -> pd.DataFrame:
     bounded (sites x langs), far below page cardinality — then one
     groupby over the pair partials; the top-k cut happens on the
     already-tiny per-domain frame."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -57,15 +56,26 @@ def page_domain_census(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["domain", "lang"], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    pairs = (
-        _read(sf_dir, ["url", "lang"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["domain", "lang"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    out = pairs.groupby("domain").agg(
-        n_pages=("n", "sum"), n_langs=("lang", "nunique")).reset_index()
+    # domain is web-scale cardinality: hash-partitioned merge of the
+    # pair partials (the stages/distinct.py per-key rule) with the
+    # per-domain census and a per-partition top-N cut in-batch — each
+    # domain is whole in one partition, so the global top-N survives
+    # and only partitions x N rows reach the driver
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def domain_top(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["domain", "lang"], sort=False, as_index=False)["n"]
+               .sum()
+               .groupby("domain")
+               .agg(n_pages=("n", "sum"), n_langs=("lang", "nunique"))
+               .reset_index())
+        return out.sort_values(["n_pages", "domain"],
+                               ascending=[False, True]).head(_TOP_N)
+
+    out = partition_reduce(
+        _read(sf_dir, ["url", "lang"]).map_batches(partial, batch_format="pyarrow"),
+        "domain", domain_top,
+    ).to_pandas()
     out = out.sort_values(["n_pages", "domain"],
                           ascending=[False, True]).head(_TOP_N)
     out["n_pages"] = out["n_pages"].astype("int64")

@@ -258,14 +258,21 @@ def distinct_suppliers_per_flag(sf_dir: str):
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # suppkey is data-cardinality: the shared partitioned distinct with
+    # the per-flag partial count fused into the same shuffle
+    from kawa_ray.stages.distinct import partition_distinct
+
     out = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_suppkey"])
-        .aggregate(Count(alias_name="_c"))
+        partition_distinct(
+            ds.map_batches(pairs, batch_format="pyarrow"),
+            ["l_returnflag", "l_suppkey"], key_col="l_suppkey",
+            then=lambda g: (g.groupby("l_returnflag", as_index=False).size()
+                            .rename(columns={"size": "n"})))
         .groupby("l_returnflag")
-        .aggregate(Count(alias_name="n_suppliers"))
+        .aggregate(Sum("n", alias_name="n_suppliers"))
         .to_pandas()
     )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 

@@ -148,8 +148,17 @@ def load_word2vec(paths: str | list[str], dim: int = 16) -> rd.Dataset:
         df["key"] = df["word"].str.lower()
         return df
 
-    return (
-        parsed.map_batches(add_key, batch_format="pandas")
-        .groupby("key")
-        .map_groups(lambda g: _merge_group(g, dim), batch_format="pandas")
+    # key is vocabulary-cardinality: hash-partitioned reduce (the
+    # stages/distinct.py per-key rule) with the per-key merge run
+    # in-batch instead of one Ray dispatch per word
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [_merge_group(sub, dim) for _, sub in g.groupby("key", sort=False)],
+            ignore_index=True,
+        )
+
+    return partition_reduce(
+        parsed.map_batches(add_key, batch_format="pandas"), "key", merge_part
     )
