@@ -17,7 +17,6 @@ import pandas as pd
 
 import ray.data as rd
 
-from kawa_ray.functions.minhash import hash64
 
 
 def partition_reduce(ds: rd.Dataset, key_col: str,
@@ -29,26 +28,37 @@ def partition_reduce(ds: rd.Dataset, key_col: str,
     / ``.map_groups()``: those pay the per-distinct-key dispatch cost
     documented at the top of this module; this pays per partition.
     All rows of one key co-locate (int keys partition by value, others
-    by ``hash64(str(key))``), so ``fn`` sees every row of each of its
+    by the vectorised pandas value hash), so ``fn`` sees every row of each of its
     keys and must reduce the groups internally (an in-batch pandas
     groupby).  The ``part`` column is dropped before ``fn`` runs.
     """
-    P = partitions
+    return (
+        ds.map_batches(_assign_part(key_col, partitions),
+                       batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: fn(g.drop(columns="part")),
+                    batch_format="pandas")
+    )
+
+
+def _assign_part(key_col: str, P: int):
+    """Partition assignment: int keys by value, everything else by the
+    vectorised pandas value hash (C per-element hashing — the previous
+    per-row Python blake2b loop was the dominant cost of the assign
+    stage on string keys).  Routing only needs within-run determinism
+    across batches/workers, which a fixed-key value hash gives; no
+    output depends on WHICH partition a key lands in."""
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         k = df[key_col]
         if k.dtype.kind in "iu":
             part = k.to_numpy("int64") % P
         else:
-            part = [hash64(str(x)) % P for x in k]
+            part = (pd.util.hash_pandas_object(k, index=False)
+                    .to_numpy() % P).astype("int64")
         return df.assign(part=part)
 
-    return (
-        ds.map_batches(assign, batch_format="pandas")
-        .groupby("part")
-        .map_groups(lambda g: fn(g.drop(columns="part")),
-                    batch_format="pandas")
-    )
+    return assign
 
 
 def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
@@ -70,14 +80,7 @@ def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
     feed two consumers.
     """
     P = partitions
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[key_col]
-        if k.dtype.kind in "iu":
-            part = k.to_numpy("int64") % P
-        else:
-            part = [hash64(str(x)) % P for x in k]
-        return df.assign(part=part)
+    assign = _assign_part(key_col, P)
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         if passthrough_col is not None:
