@@ -178,7 +178,6 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
     import pandas as pd
     import pyarrow as pa
 
-    from kawa_ray.functions.minhash import hash64
     from kawa_ray.stages.distinct import partition_distinct
 
     P = partitions
@@ -206,8 +205,12 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
         then=lambda g: g[["node"]].assign(lbl=g["node"]),
     ).materialize()
 
-    def _part_of(s: pd.Series) -> list[int]:
-        return [hash64(str(x)) % P for x in s]
+    def _part_of(s: pd.Series):
+        # vectorised pandas value hash (C per element) — same routing
+        # contract as stages/distinct.py::_assign_part: within-run
+        # determinism is all co-location needs
+        return (pd.util.hash_pandas_object(s, index=False)
+                .to_numpy() % P).astype("int64")
 
     for _ in range(max_rounds):
         # 1. co-locate each node's label row with its adjacency rows
