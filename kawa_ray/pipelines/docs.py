@@ -401,8 +401,10 @@ def _partitioned_band_pairs(banded, key_col: str, max_members: int,
     P = _PAIR_PARTITIONS
 
     def addpart(df: pd.DataFrame) -> pd.DataFrame:
+        from kawa_ray.stages.distinct import route_parts
+
         df = df.copy()
-        df["part"] = [hash64(str(k)) % P for k in df[key_col]]
+        df["part"] = route_parts(df[key_col], P)
         return df
 
     def explode(g: pd.DataFrame) -> pd.DataFrame:

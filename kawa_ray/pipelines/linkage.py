@@ -178,26 +178,28 @@ def candidate_pairs(nodes: rd.Dataset, cfg: LinkageConfig,
 
     hot = {
         r["block_key"]: int(r["members"])
-        for r in partition_reduce(keyed, "block_key", _hot_blocks).take_all()
+        for r in partition_reduce(keyed, "block_key", _hot_blocks,
+                                  partitions=partitions).take_all()
     }
+
+    from kawa_ray.stages.distinct import route_parts
 
     def salt(batch: pd.DataFrame, _p=partitions) -> pd.DataFrame:
         out = salt_block_keys(batch, hot, cfg.n_salts)
-        out["part"] = [hash64(k) % _p for k in out["block_key"]]
+        out["part"] = route_parts(out["block_key"], _p)
         return out
 
     keyed = keyed.map_batches(salt, batch_format="pandas")
     pairs = keyed.groupby("part").map_groups(
         lambda g: explode_partition(g, cfg.max_pairs_per_block), batch_format="pandas"
     )
+
     # exact pair dedup: hash-partition on canonical pair key, keep first
-    pairs = pairs.map_batches(
-        lambda df, _p=partitions: df.assign(
-            pair_key=df["a"] + "\x00" + df["b"],
-            part=[hash64(a + "\x00" + b) % _p for a, b in zip(df["a"], df["b"])],
-        ),
-        batch_format="pandas",
-    )
+    def pair_parts(df: pd.DataFrame, _p=partitions) -> pd.DataFrame:
+        pk = df["a"] + "\x00" + df["b"]
+        return df.assign(pair_key=pk, part=route_parts(pk, _p))
+
+    pairs = pairs.map_batches(pair_parts, batch_format="pandas")
     pairs = pairs.groupby("part").map_groups(
         lambda g: g.drop_duplicates("pair_key"), batch_format="pandas"
     )

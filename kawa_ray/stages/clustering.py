@@ -86,8 +86,7 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
     import pyarrow as pa
     import ray
 
-    from kawa_ray.functions.minhash import hash64
-    from kawa_ray.stages.distinct import partition_distinct
+    from kawa_ray.stages.distinct import partition_distinct, route_parts
 
     P = 64
     edges = edges_ds.select_columns(["a", "b"]).materialize()
@@ -128,7 +127,8 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
                 {
                     "node": pa.array(node, pa.string()),
                     "cand": pa.array([min(l[n], l[m]) for n, m in zip(node, nbr)], pa.string()),
-                    "part": pa.array([hash64(n) % P for n in node], pa.int64()),
+                    "part": pa.array(route_parts(pd.Series(node, dtype=object), P),
+                                     pa.int64()),
                 }
             )
 
@@ -205,12 +205,10 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
         then=lambda g: g[["node"]].assign(lbl=g["node"]),
     ).materialize()
 
+    from kawa_ray.stages.distinct import route_parts
+
     def _part_of(s: pd.Series):
-        # vectorised pandas value hash (C per element) — same routing
-        # contract as stages/distinct.py::_assign_part: within-run
-        # determinism is all co-location needs
-        return (pd.util.hash_pandas_object(s, index=False)
-                .to_numpy() % P).astype("int64")
+        return route_parts(s, P)
 
     for _ in range(max_rounds):
         # 1. co-locate each node's label row with its adjacency rows

@@ -41,22 +41,50 @@ def partition_reduce(ds: rd.Dataset, key_col: str,
     )
 
 
-def _assign_part(key_col: str, P: int):
-    """Partition assignment: int keys by value, everything else by the
-    vectorised pandas value hash (C per-element hashing — the previous
-    per-row Python blake2b loop was the dominant cost of the assign
-    stage on string keys).  Routing only needs within-run determinism
-    across batches/workers, which a fixed-key value hash gives; no
-    output depends on WHICH partition a key lands in."""
+def route_parts(k: pd.Series, P: int):
+    """Deterministic partition ids for a key Series — THE routing
+    function for every hash-partition idiom in the package (the
+    helpers below, the clustering rounds, the linkage salt/pair
+    shuffles).  Stable across batches regardless of pandas dtype
+    promotion: integer keys route by value; integral floats (an int
+    column a null-free concat/cast promoted) are normalised back to
+    int64 so they land WITH their int-batch twins; numeric keys with
+    nulls or fractions are rejected loudly — silently hash-routing a
+    promoted batch would split a key across partitions and duplicate
+    its group in every consumer; int-bearing object columns normalise
+    to int64; everything else routes by the vectorised pandas value
+    hash (C per element — a per-row Python digest loop was the
+    dominant cost of the assign stage on string keys).  Routing only
+    needs within-run determinism; no output depends on WHICH partition
+    a key lands in."""
+    import numpy as np
 
+    kind = k.dtype.kind
+    if kind == "O":
+        probe = next((x for x in k if x is not None), None)
+        if isinstance(probe, (int, np.integer)):
+            # mixed int/str columns raise here (loud), never split
+            return k.to_numpy("int64") % P
+        return (pd.util.hash_pandas_object(k, index=False)
+                .to_numpy() % P).astype("int64")
+    if kind in "iu":
+        return k.to_numpy("int64") % P
+    if kind == "f":
+        a = k.to_numpy("float64")
+        with np.errstate(invalid="ignore"):
+            ints = a.astype("int64")
+        if np.isnan(a).any() or (ints != a).any():
+            raise TypeError(
+                f"partition key column has nulls or fractional floats "
+                f"(dtype {k.dtype}); keys must be integral or string")
+        return ints % P
+    return (pd.util.hash_pandas_object(k, index=False)
+            .to_numpy() % P).astype("int64")
+
+
+def _assign_part(key_col: str, P: int):
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[key_col]
-        if k.dtype.kind in "iu":
-            part = k.to_numpy("int64") % P
-        else:
-            part = (pd.util.hash_pandas_object(k, index=False)
-                    .to_numpy() % P).astype("int64")
-        return df.assign(part=part)
+        return df.assign(part=route_parts(df[key_col], P))
 
     return assign
 
@@ -72,7 +100,11 @@ def partition_distinct(ds: rd.Dataset, cols: list[str], key_col: str,
     duplicate rows agree on every column, so they always co-locate).
     ``then``, if given, runs per partition on the deduplicated frame —
     fuse the follow-up reduction (e.g. a per-group partial count) into
-    the same shuffle instead of paying a second one.
+    the same shuffle instead of paying a second one.  NOTE the contract
+    difference from ``partition_reduce``: ``then`` receives the frame
+    INCLUDING the internal ``part`` column (tools/rehearsal_x16.py's
+    skew instrument reads it) — project your output columns explicitly
+    or ``part`` leaks into the returned schema.
     ``passthrough_col``, if given, names a bool column: rows where it is
     True ride the SAME shuffle but skip deduplication (they reach
     ``then`` verbatim) — lets a caller carry per-batch partial rows

@@ -86,3 +86,49 @@ def test_partition_distinct_then_and_passthrough(ray_session):
                              then=then, passthrough_col="thru").to_pandas()
     assert got["n_distinct"].sum() == len(df.drop_duplicates(["k_str", "grp"]))
     assert got["n_thru"].sum() == 3  # identical passthrough rows survive
+
+
+class TestRouteDtypeStability:
+    """route_parts must send the same logical key to the same partition
+    regardless of pandas dtype promotion — a float64-promoted or
+    object-boxed int batch co-locates with its int64 twins (the silent
+    key-split hazard a per-batch dtype branch would create)."""
+
+    def test_promoted_batches_co_locate(self, ray_session):
+        ints = pd.DataFrame({"k": pd.Series([1, 2, 3, 65], dtype="int64"),
+                             "v": [10, 20, 30, 40]})
+        floats = pd.DataFrame({"k": pd.Series([1.0, 2.0, 3.0, 65.0],
+                                              dtype="float64"),
+                               "v": [1, 2, 3, 4]})
+        objs = pd.DataFrame({"k": pd.Series([1, 2, 3, 65], dtype="object"),
+                             "v": [100, 200, 300, 400]})
+        ds = (rd.from_pandas(ints)
+              .union(rd.from_pandas(floats))
+              .union(rd.from_pandas(objs)))
+
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.assign(k=g["k"].astype("int64"))
+            return g.groupby("k", as_index=False)["v"].sum()
+
+        got = (partition_reduce(ds, "k", fn).to_pandas()
+               .astype({"k": "int64", "v": "int64"})
+               .sort_values("k").reset_index(drop=True))
+        # one row per key — a split key would appear twice
+        assert got["k"].tolist() == [1, 2, 3, 65]
+        assert got["v"].tolist() == [111, 222, 333, 444]
+
+    def test_fractional_or_null_numeric_keys_raise(self):
+        from kawa_ray.stages.distinct import route_parts
+
+        with pytest.raises(TypeError):
+            route_parts(pd.Series([1.5, 2.0]), 64)
+        with pytest.raises(TypeError):
+            route_parts(pd.Series([1.0, None], dtype="float64"), 64)
+
+    def test_string_and_int_routing_deterministic(self):
+        from kawa_ray.stages.distinct import route_parts
+
+        s = pd.Series(["a", "bb", "ccc"] * 5, dtype="object")
+        assert (route_parts(s, 16) == route_parts(s.copy(), 16)).all()
+        i = pd.Series([-5, 0, 63, 64, 129], dtype="int64")
+        assert route_parts(i, 64).tolist() == [59, 0, 63, 0, 1]
