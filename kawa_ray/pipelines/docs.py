@@ -179,6 +179,65 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def cross_dump_dedup_census(sf_dir: str):
+    """Cross-dump exact dedup: flag documents of the NEW crawl whose
+    content already appeared in an EARLIER dump — the standard CC-dump
+    incremental-dedup step.  The earlier dump is modeled as the
+    deterministic ``doc_id % 2 == 0`` slice of the corpus (no external
+    data; the corpus's engineered exact-dup twins straddle the slice at
+    bench scale, so the collision path is genuinely exercised).
+
+    Shape is the one that holds when the OLD dump is itself corpus-
+    sized: both dumps stream through ONE hash-partition shuffle on the
+    content hash (old-side rows tagged), and the membership test runs
+    in-batch per partition — never a broadcast old-dump hash set, never
+    driver state.  -> per-lang (lang, n_new, n_dup_vs_old)."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["fingerprint"] = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                             for s in df["text"]]
+        df["is_old"] = (df["doc_id"].to_numpy("int64") % 2) == 0
+        return pa.Table.from_pandas(
+            df[["lang", "fingerprint", "is_old"]], preserve_index=False)
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        old_fps = set(g.loc[g["is_old"], "fingerprint"])
+        new = g[~g["is_old"]]
+        hit = new["fingerprint"].isin(old_fps)
+        return (pd.DataFrame({"lang": new["lang"], "d": hit.astype("int64")})
+                .groupby("lang", as_index=False)
+                .agg(n_new=("d", "size"), n_dup_vs_old=("d", "sum")))
+
+    out = (
+        partition_reduce(ds.map_batches(key, batch_format="pyarrow"),
+                         "fingerprint", census_part)
+        .groupby("lang")
+        .aggregate(Sum("n_new", alias_name="n_new"),
+                   Sum("n_dup_vs_old", alias_name="n_dup_vs_old"))
+        .to_pandas()
+    )
+    out["n_new"] = out["n_new"].astype("int64")
+    out["n_dup_vs_old"] = out["n_dup_vs_old"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+CROSS_DUMP_DEDUP_SQL = """
+WITH old AS (
+  SELECT MD5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), new AS (
+  SELECT lang, MD5(text) AS h FROM documents WHERE doc_id % 2 <> 0
+)
+SELECT lang, COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN h IN (SELECT h FROM old) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_vs_old
+FROM new GROUP BY lang ORDER BY lang
+"""
+
+
 def punctuation_stats(sf_dir: str):
     """Quality signal: punctuation-char counts per lang (SQL-checkable
     slice of the quality score)."""

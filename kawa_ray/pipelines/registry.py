@@ -213,6 +213,8 @@ EXTRA_QUERIES = {
     # url/warc_ts/lang — the CC-pipeline pre-content steps)
     "page_domain_census": pages_ops.page_domain_census,
     "crawl_hourly_census": pages_ops.crawl_hourly_census,
+    # cross-dump incremental dedup (new crawl vs earlier dump)
+    "cross_dump_dedup_census": docs.cross_dump_dedup_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -254,6 +256,7 @@ EXTRA_ORACLE_SQL = {
     "decontam_overlap_bloom": textqual.DECONTAM_SQL,
     "page_domain_census": pages_ops.PAGE_DOMAIN_CENSUS_SQL,
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
+    "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

@@ -87,3 +87,15 @@ def test_keep_best_consistent_with_census(ray_session):
     assert int(kb["n_members"].sum() - kb["n_kept"].sum()) == int(
         census["n_duplicates"].iloc[0])
     assert int(kb["n_dropped"].sum()) == int(census["n_duplicates"].iloc[0])
+
+
+def test_cross_dump_dedup_hits_at_bench_scale(ray_session):
+    """The corpus's exact-dup twins straddle the %2 dump slice at sf0.1,
+    so the cross-dump collision path is exercised with real hits (the
+    oracle tier runs at sf0.01 where the slice happens to be hit-free —
+    this pins the non-trivial case)."""
+    from kawa_ray.pipelines.docs import cross_dump_dedup_census
+
+    out = cross_dump_dedup_census("/root/testdata/sf0.1")
+    assert int(out["n_dup_vs_old"].sum()) == 4
+    assert int(out["n_new"].sum()) == 2500
