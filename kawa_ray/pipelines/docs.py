@@ -238,6 +238,111 @@ FROM new GROUP BY lang ORDER BY lang
 """
 
 
+def cross_dump_banddup_census(sf_dir: str, num_perm: int = 64,
+                              bands: int = 16):
+    """Cross-dump NEAR-dup gate: new-crawl documents sharing at least
+    one MinHash-LSH band key with the earlier dump (the ``doc_id % 2``
+    slice, as in ``cross_dump_dedup_census``) — the recall gate that
+    feeds a cross-dump exact verify at 100 TB.  Per-lang counts of
+    banded new docs and band-collision hits; the engineered near-dup
+    twins straddle the slice even at sf0.001, so the collision path
+    verifies non-trivially at every scale.
+
+    Two partitioned shuffles, both dumps streamed: band rows (old rows
+    tagged) hash-partition on the band key for an in-batch membership
+    test, per-doc hit flags hash-partition on doc_id for the OR-fold —
+    no broadcast old-dump key set, no driver state."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_doc, out_lang, out_band, out_old = [], [], [], []
+        for doc_id, lang, text in zip(df["doc_id"], df["lang"], df["text"]):
+            toks = _WS.split(text.lower().strip()) if text.strip() else []
+            sh = word_ngrams(toks, 3)
+            if not sh:
+                continue  # gramless docs carry no banding signal (the
+                # SQL grams CTE has no rows for them either)
+            s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
+            is_old = bool(doc_id % 2 == 0)
+            for b in lsh_band_keys(s, bands):
+                out_doc.append(doc_id)
+                out_lang.append(lang)
+                out_band.append(b)
+                out_old.append(is_old)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "lang": pa.array(out_lang, pa.string()),
+                         "band": pa.array(out_band, pa.string()),
+                         "is_old": pa.array(out_old, pa.bool_())})
+
+    def hits_part(g: pd.DataFrame) -> pd.DataFrame:
+        old_bands = set(g.loc[g["is_old"], "band"])
+        new = g[~g["is_old"]]
+        if new.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype="str"),
+                                 "hit": pd.Series([], dtype="int64")})
+        return (pd.DataFrame(
+            {"doc_id": new["doc_id"], "lang": new["lang"],
+             "hit": new["band"].isin(old_bands).astype("int64")})
+            .groupby(["doc_id", "lang"], as_index=False)["hit"].max())
+
+    def doc_part(g: pd.DataFrame) -> pd.DataFrame:
+        per_doc = g.groupby(["doc_id", "lang"], as_index=False)["hit"].max()
+        return (per_doc.groupby("lang", as_index=False)
+                .agg(n_new_banded=("hit", "size"),
+                     n_banddup_vs_old=("hit", "sum")))
+
+    out = (
+        partition_reduce(
+            partition_reduce(ds.map_batches(sig, batch_format="pyarrow"),
+                             "band", hits_part),
+            "doc_id", doc_part)
+        .groupby("lang")
+        .aggregate(Sum("n_new_banded", alias_name="n_new_banded"),
+                   Sum("n_banddup_vs_old", alias_name="n_banddup_vs_old"))
+        .to_pandas()
+    )
+    out["n_new_banded"] = out["n_new_banded"].astype("int64")
+    out["n_banddup_vs_old"] = out["n_banddup_vs_old"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _cross_banddup_sql(num_perm: int = 64, bands: int = 16) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_grams_cte(3)}
+, perms(i, pa, pb) AS (VALUES {perm_rows})
+, hm AS (SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams)
+, sig AS (
+  SELECT doc_id, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY doc_id, i)
+, bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rows_per_band})
+, old_bands AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 2 = 0)
+, newdocs AS (
+  SELECT b.doc_id, MAX(CASE WHEN ob.band IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM bands b LEFT JOIN old_bands ob ON b.band = ob.band AND b.bkey = ob.bkey
+  WHERE b.doc_id % 2 <> 0 GROUP BY b.doc_id)
+SELECT d.lang, COUNT(*) AS n_new_banded,
+       CAST(SUM(n.hit) AS BIGINT) AS n_banddup_vs_old
+FROM newdocs n JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def punctuation_stats(sf_dir: str):
     """Quality signal: punctuation-char counts per lang (SQL-checkable
     slice of the quality score)."""
@@ -1087,6 +1192,7 @@ FROM stats
 NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 MINHASH_DEDUP_SQL = _minhash_sql()
 SIMHASH_DEDUP_SQL = _simhash_sql()
+CROSS_DUMP_BANDDUP_SQL = _cross_banddup_sql()
 
 
 def _winnow_selected(t: pa.Table, k: int, w: int) -> list[np.ndarray]:

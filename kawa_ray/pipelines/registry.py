@@ -215,6 +215,7 @@ EXTRA_QUERIES = {
     "crawl_hourly_census": pages_ops.crawl_hourly_census,
     # cross-dump incremental dedup (new crawl vs earlier dump)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
+    "cross_dump_banddup_census": docs.cross_dump_banddup_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -257,6 +258,7 @@ EXTRA_ORACLE_SQL = {
     "page_domain_census": pages_ops.PAGE_DOMAIN_CENSUS_SQL,
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
+    "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

@@ -99,3 +99,14 @@ def test_cross_dump_dedup_hits_at_bench_scale(ray_session):
     out = cross_dump_dedup_census("/root/testdata/sf0.1")
     assert int(out["n_dup_vs_old"].sum()) == 4
     assert int(out["n_new"].sum()) == 2500
+
+
+def test_cross_dump_banddup_hits_at_small_scale(ray_session):
+    """The engineered near-dup twins straddle the %2 dump slice even at
+    sf0.001, so the band-collision path runs with real hits at the
+    smallest scale (unlike the exact variant, which first collides at
+    sf0.1)."""
+    from kawa_ray.pipelines.docs import cross_dump_banddup_census
+
+    out = cross_dump_banddup_census("/root/testdata/sf0.001")
+    assert int(out["n_banddup_vs_old"].sum()) > 0
