@@ -238,6 +238,37 @@ FROM new GROUP BY lang ORDER BY lang
 """
 
 
+def _cross_dump_band_rows(sf_dir: str, num_perm: int, bands: int) -> rd.Dataset:
+    """Shared banding stage of the cross-dump near-dup family: one
+    MinHash-LSH band row per (doc, band) with the earlier-dump tag
+    (``doc_id % 2 == 0``, as in ``cross_dump_dedup_census``).  Gramless
+    docs carry no banding signal (the SQL grams CTE has no rows for
+    them either)."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_doc, out_lang, out_band, out_old = [], [], [], []
+        for doc_id, lang, text in zip(df["doc_id"], df["lang"], df["text"]):
+            toks = _WS.split(text.lower().strip()) if text.strip() else []
+            sh = word_ngrams(toks, 3)
+            if not sh:
+                continue
+            s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
+            is_old = bool(doc_id % 2 == 0)
+            for b in lsh_band_keys(s, bands):
+                out_doc.append(doc_id)
+                out_lang.append(lang)
+                out_band.append(b)
+                out_old.append(is_old)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "lang": pa.array(out_lang, pa.string()),
+                         "band": pa.array(out_band, pa.string()),
+                         "is_old": pa.array(out_old, pa.bool_())})
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
 def cross_dump_banddup_census(sf_dir: str, num_perm: int = 64,
                               bands: int = 16):
     """Cross-dump NEAR-dup gate: new-crawl documents sharing at least
@@ -254,28 +285,7 @@ def cross_dump_banddup_census(sf_dir: str, num_perm: int = 64,
     no broadcast old-dump key set, no driver state."""
     from kawa_ray.stages.distinct import partition_reduce
 
-    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
-
-    def sig(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out_doc, out_lang, out_band, out_old = [], [], [], []
-        for doc_id, lang, text in zip(df["doc_id"], df["lang"], df["text"]):
-            toks = _WS.split(text.lower().strip()) if text.strip() else []
-            sh = word_ngrams(toks, 3)
-            if not sh:
-                continue  # gramless docs carry no banding signal (the
-                # SQL grams CTE has no rows for them either)
-            s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
-            is_old = bool(doc_id % 2 == 0)
-            for b in lsh_band_keys(s, bands):
-                out_doc.append(doc_id)
-                out_lang.append(lang)
-                out_band.append(b)
-                out_old.append(is_old)
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "lang": pa.array(out_lang, pa.string()),
-                         "band": pa.array(out_band, pa.string()),
-                         "is_old": pa.array(out_old, pa.bool_())})
+    banded = _cross_dump_band_rows(sf_dir, num_perm, bands)
 
     def hits_part(g: pd.DataFrame) -> pd.DataFrame:
         old_bands = set(g.loc[g["is_old"], "band"])
@@ -297,8 +307,7 @@ def cross_dump_banddup_census(sf_dir: str, num_perm: int = 64,
 
     out = (
         partition_reduce(
-            partition_reduce(ds.map_batches(sig, batch_format="pyarrow"),
-                             "band", hits_part),
+            partition_reduce(banded, "band", hits_part),
             "doc_id", doc_part)
         .groupby("lang")
         .aggregate(Sum("n_new_banded", alias_name="n_new_banded"),
@@ -339,6 +348,156 @@ WITH RECURSIVE {_grams_cte(3)}
 SELECT d.lang, COUNT(*) AS n_new_banded,
        CAST(SUM(n.hit) AS BIGINT) AS n_banddup_vs_old
 FROM newdocs n JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def cross_dump_neardup_census(sf_dir: str, num_perm: int = 64,
+                              bands: int = 16, threshold: float = 0.8,
+                              max_members: int = 200):
+    """Cross-dump near-dup VERIFY — the full incremental-dedup shape:
+    new-crawl documents whose 3-gram Jaccard against some earlier-dump
+    document (the ``doc_id % 2`` slice) clears ``threshold``, with
+    candidates gated by shared MinHash-LSH band keys (the
+    ``cross_dump_banddup_census`` recall gate, completed here by the
+    exact verify that makes it a dedup decision rather than a
+    collision census).  -> per-lang (n_new_banded, n_neardup_vs_old).
+
+    Fully partitioned: band rows hash-partition on the band key and
+    each band segment emits only OLD×NEW candidate pairs (per-segment
+    cap ``max_members`` on the segment's distinct docs, so the pair
+    set is deterministic and parallelism-independent); verification is
+    the shared distributed Jaccard join (``_verified_edges`` — gram
+    sets hash-partition onto pair endpoints, never a driver text
+    dict); the census OR-folds hit flags per doc through one more
+    doc_id-partitioned exchange.  Both dumps stream throughout — no
+    broadcast old-dump state."""
+    import ray.data as _rd
+
+    from kawa_ray.stages.distinct import partition_reduce, route_parts
+
+    banded = _cross_dump_band_rows(sf_dir, num_perm, bands).materialize()
+    P = _PAIR_PARTITIONS
+
+    def addpart(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(part=route_parts(df["band"], P))
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, seg in g.groupby("band", sort=False):
+            mem = seg.drop_duplicates("doc_id")
+            if len(mem) < 2 or len(mem) > max_members:
+                continue
+            old = sorted(mem.loc[mem["is_old"], "doc_id"].tolist())
+            new = sorted(mem.loc[~mem["is_old"], "doc_id"].tolist())
+            for o in old:
+                for nn in new:
+                    out_a.append(int(o))
+                    out_b.append(int(nn))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    pairs = (
+        banded.map_batches(addpart, batch_format="pandas")
+        .groupby("part")
+        .map_groups(explode, batch_format="pandas")
+        .materialize()
+    )
+    # dedup across bands — same two-path shape as _partitioned_band_pairs
+    if pairs.count() <= _DRIVER_EDGE_THRESHOLD:
+        cand = _rd.from_pandas(pairs.to_pandas().drop_duplicates(["a", "b"]))
+    else:
+        cand = partition_reduce(
+            pairs, "a", lambda g: g[["a", "b"]].drop_duplicates())
+    edges = _verified_edges(sf_dir, cand, 3, threshold)
+
+    def new_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.loc[~df["is_old"], ["doc_id", "lang"]].drop_duplicates()
+        return nd.assign(hit=pd.Series(0, index=nd.index, dtype="int64"))
+
+    def hit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["b"].astype("int64"),
+                             "lang": pd.Series("", index=df.index, dtype="str"),
+                             "hit": pd.Series(1, index=df.index, dtype="int64")})
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        # every verified hit's b is a banded new doc, so lang is the
+        # max (the one non-empty value) and presence = any lang != ""
+        per_doc = (g.groupby("doc_id", as_index=False)
+                   .agg(lang=("lang", "max"), hit=("hit", "max")))
+        per_doc = per_doc[per_doc["lang"] != ""]
+        return (per_doc.groupby("lang", as_index=False)
+                .agg(n_new_banded=("hit", "size"),
+                     n_neardup_vs_old=("hit", "sum")))
+
+    rows = (banded.map_batches(new_rows, batch_format="pandas")
+            .union(edges.map_batches(hit_rows, batch_format="pandas")))
+    out = (
+        partition_reduce(rows, "doc_id", census_part)
+        .groupby("lang")
+        .aggregate(Sum("n_new_banded", alias_name="n_new_banded"),
+                   Sum("n_neardup_vs_old", alias_name="n_neardup_vs_old"))
+        .to_pandas()
+    )
+    out["n_new_banded"] = out["n_new_banded"].astype("int64")
+    out["n_neardup_vs_old"] = out["n_neardup_vs_old"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _cross_neardup_sql(num_perm: int = 64, bands: int = 16,
+                       threshold: float = 0.8,
+                       max_members: int = 200) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_grams_cte(3)}
+, perms(i, pa, pb) AS (VALUES {perm_rows})
+, hm AS (SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams)
+, sig AS (
+  SELECT doc_id, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY doc_id, i)
+, bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rows_per_band})
+, seg AS (
+  SELECT band, bkey, COUNT(DISTINCT doc_id) AS n
+  FROM bands GROUP BY band, bkey)
+, cand AS (
+  SELECT DISTINCT o.doc_id AS a, n2.doc_id AS b
+  FROM bands o
+  JOIN bands n2 ON o.band = n2.band AND o.bkey = n2.bkey
+  JOIN seg s ON s.band = o.band AND s.bkey = o.bkey
+  WHERE o.doc_id % 2 = 0 AND n2.doc_id % 2 <> 0
+    AND s.n BETWEEN 2 AND {max_members})
+, gsizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+, inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b)
+, hits AS (
+  SELECT DISTINCT i.b AS doc_id
+  FROM inter i
+  JOIN gsizes sa ON sa.doc_id = i.a
+  JOIN gsizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold})
+, newbanded AS (SELECT DISTINCT doc_id FROM bands WHERE doc_id % 2 <> 0)
+SELECT d.lang, COUNT(*) AS n_new_banded,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neardup_vs_old
+FROM newbanded nb
+JOIN documents d USING (doc_id)
+LEFT JOIN hits h ON h.doc_id = nb.doc_id
 GROUP BY d.lang ORDER BY d.lang
 """
 
@@ -1193,6 +1352,7 @@ NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 MINHASH_DEDUP_SQL = _minhash_sql()
 SIMHASH_DEDUP_SQL = _simhash_sql()
 CROSS_DUMP_BANDDUP_SQL = _cross_banddup_sql()
+CROSS_DUMP_NEARDUP_SQL = _cross_neardup_sql()
 
 
 def _winnow_selected(t: pa.Table, k: int, w: int) -> list[np.ndarray]:

@@ -216,6 +216,7 @@ EXTRA_QUERIES = {
     # cross-dump incremental dedup (new crawl vs earlier dump)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
     "cross_dump_banddup_census": docs.cross_dump_banddup_census,
+    "cross_dump_neardup_census": docs.cross_dump_neardup_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -259,6 +260,7 @@ EXTRA_ORACLE_SQL = {
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
+    "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

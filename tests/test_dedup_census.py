@@ -110,3 +110,18 @@ def test_cross_dump_banddup_hits_at_small_scale(ray_session):
 
     out = cross_dump_banddup_census("/root/testdata/sf0.001")
     assert int(out["n_banddup_vs_old"].sum()) > 0
+
+
+def test_cross_dump_neardup_verify_confirms_hits(ray_session):
+    """The verify stage confirms a subset of the band-collision gate:
+    every Jaccard-confirmed near-dup was a band hit, and the engineered
+    twins give real confirmations at the smallest scale."""
+    from kawa_ray.pipelines.docs import (cross_dump_banddup_census,
+                                         cross_dump_neardup_census)
+
+    near = cross_dump_neardup_census("/root/testdata/sf0.001")
+    band = cross_dump_banddup_census("/root/testdata/sf0.001")
+    assert int(near["n_neardup_vs_old"].sum()) > 0
+    merged = near.merge(band, on="lang")
+    assert (merged["n_neardup_vs_old"] <= merged["n_banddup_vs_old"]).all()
+    assert (merged["n_new_banded_x"] == merged["n_new_banded_y"]).all()
