@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -217,6 +217,8 @@ EXTRA_QUERIES = {
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
     "cross_dump_banddup_census": docs.cross_dump_banddup_census,
     "cross_dump_neardup_census": docs.cross_dump_neardup_census,
+    # DSIR hashed n-gram importance selection (Xie et al. 2023)
+    "dsir_selection_census": dsir.dsir_selection_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -261,6 +263,7 @@ EXTRA_ORACLE_SQL = {
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
+    "dsir_selection_census": dsir.DSIR_SELECTION_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
