@@ -371,30 +371,42 @@ def cross_dump_neardup_census(sf_dir: str, num_perm: int = 64,
     sets hash-partition onto pair endpoints, never a driver text
     dict); the census OR-folds hit flags per doc through one more
     doc_id-partitioned exchange.  Both dumps stream throughout — no
-    broadcast old-dump state."""
+    broadcast old-dump state, and the band-row stream (corpus×bands
+    sized) is never pinned (the winnow lesson): the census denominator
+    ("banded new docs" = new docs with ≥1 gram) comes from a separate
+    tokenize-only pass that never computes signatures, so the
+    expensive MinHash pass runs exactly once."""
     import ray.data as _rd
 
     from kawa_ray.stages.distinct import partition_reduce, route_parts
 
-    banded = _cross_dump_band_rows(sf_dir, num_perm, bands).materialize()
+    banded = _cross_dump_band_rows(sf_dir, num_perm, bands)
     P = _PAIR_PARTITIONS
 
     def addpart(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(part=route_parts(df["band"], P))
 
     def explode(g: pd.DataFrame) -> pd.DataFrame:
+        # numpy segment split per band key (the _partitioned_band_pairs
+        # idiom — mostly singleton bands, per-group dispatch dominates)
+        order = np.argsort(g["band"].to_numpy(), kind="stable")
+        keys = g["band"].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        olds = g["is_old"].to_numpy()[order]
         out_a: list[int] = []
         out_b: list[int] = []
-        for _, seg in g.groupby("band", sort=False):
-            mem = seg.drop_duplicates("doc_id")
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        for i, j in zip(starts, ends):
+            mem = {int(d): bool(o) for d, o in zip(ids[i:j], olds[i:j])}
             if len(mem) < 2 or len(mem) > max_members:
                 continue
-            old = sorted(mem.loc[mem["is_old"], "doc_id"].tolist())
-            new = sorted(mem.loc[~mem["is_old"], "doc_id"].tolist())
+            old = sorted(d for d, o in mem.items() if o)
+            new = sorted(d for d, o in mem.items() if not o)
             for o in old:
                 for nn in new:
-                    out_a.append(int(o))
-                    out_b.append(int(nn))
+                    out_a.append(o)
+                    out_b.append(nn)
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
@@ -412,8 +424,12 @@ def cross_dump_neardup_census(sf_dir: str, num_perm: int = 64,
             pairs, "a", lambda g: g[["a", "b"]].drop_duplicates())
     edges = _verified_edges(sf_dir, cand, 3, threshold)
 
-    def new_rows(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df.loc[~df["is_old"], ["doc_id", "lang"]].drop_duplicates()
+    def new_rows(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        new = df[(df["doc_id"].to_numpy("int64") % 2) != 0]
+        keep = [bool(word_ngrams(_WS.split(tx.lower().strip()), 3))
+                if tx.strip() else False for tx in new["text"]]
+        nd = new.loc[keep, ["doc_id", "lang"]]
         return nd.assign(hit=pd.Series(0, index=nd.index, dtype="int64"))
 
     def hit_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -431,7 +447,8 @@ def cross_dump_neardup_census(sf_dir: str, num_perm: int = 64,
                 .agg(n_new_banded=("hit", "size"),
                      n_neardup_vs_old=("hit", "sum")))
 
-    rows = (banded.map_batches(new_rows, batch_format="pandas")
+    docs_src = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+    rows = (docs_src.map_batches(new_rows, batch_format="pyarrow")
             .union(edges.map_batches(hit_rows, batch_format="pandas")))
     out = (
         partition_reduce(rows, "doc_id", census_part)
