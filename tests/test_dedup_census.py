@@ -112,6 +112,16 @@ def test_cross_dump_banddup_hits_at_small_scale(ray_session):
     assert int(out["n_banddup_vs_old"].sum()) > 0
 
 
+def test_cross_dump_neardup_paths_agree(ray_session, docs_mod, monkeypatch):
+    """Forcing the above-threshold branch exercises both the
+    partitioned pair dedup and _verified_edges' no-driver-candidate
+    scale path; output must equal the driver-collapse path."""
+    driver = docs_mod.cross_dump_neardup_census(SF_DIR)
+    monkeypatch.setattr(docs_mod, "_DRIVER_EDGE_THRESHOLD", 0)
+    distributed = docs_mod.cross_dump_neardup_census(SF_DIR)
+    pd.testing.assert_frame_equal(driver, distributed)
+
+
 def test_cross_dump_neardup_verify_confirms_hits(ray_session):
     """The verify stage confirms a subset of the band-collision gate:
     every Jaccard-confirmed near-dup was a band hit, and the engineered
