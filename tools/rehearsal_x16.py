@@ -134,11 +134,13 @@ def main() -> None:
 
     from kawa_ray.pipelines.builder import user_pagerank
     from kawa_ray.pipelines.docs import (
+        cross_dump_neardup_census,
         doc_winnow_fingerprints,
         minhash_dedup_docs,
         minhash_keep_best,
         ngram_jaccard_dedup_docs,
     )
+    from kawa_ray.pipelines.dsir import dsir_selection_census
     from kawa_ray.pipelines.substring_dedup import doc_substring_dup_census
 
     queries = [
@@ -148,6 +150,8 @@ def main() -> None:
         ("doc_substring_dup_census", doc_substring_dup_census),
         ("doc_winnow_fingerprints", doc_winnow_fingerprints),
         ("user_pagerank", user_pagerank),
+        ("cross_dump_neardup_census", cross_dump_neardup_census),
+        ("dsir_selection_census", dsir_selection_census),
     ]
     res: dict = {"copies": COPIES, "queries": {}}
     for name, fn in queries:
