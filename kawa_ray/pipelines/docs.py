@@ -427,9 +427,10 @@ def cross_dump_neardup_census(sf_dir: str, num_perm: int = 64,
     def new_rows(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
         new = df[(df["doc_id"].to_numpy("int64") % 2) != 0]
-        keep = [bool(word_ngrams(_WS.split(tx.lower().strip()), 3))
-                if tx.strip() else False for tx in new["text"]]
-        nd = new.loc[keep, ["doc_id", "lang"]]
+        # a doc has >=1 gram iff it has >=1 token (word_ngrams of a
+        # short-but-nonempty token list is the single joined gram) iff
+        # the text is non-blank — vectorised strip beats re-tokenizing
+        nd = new.loc[new["text"].str.strip() != "", ["doc_id", "lang"]]
         return nd.assign(hit=pd.Series(0, index=nd.index, dtype="int64"))
 
     def hit_rows(df: pd.DataFrame) -> pd.DataFrame:
