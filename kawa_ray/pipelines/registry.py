@@ -219,6 +219,8 @@ EXTRA_QUERIES = {
     "cross_dump_neardup_census": docs.cross_dump_neardup_census,
     # DSIR hashed n-gram importance selection (Xie et al. 2023)
     "dsir_selection_census": dsir.dsir_selection_census,
+    # SemDeDup (Abbas et al. 2023): k-means + within-cluster cosine dedup
+    "semdedup_census": vectors.semdedup_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -264,6 +266,7 @@ EXTRA_ORACLE_SQL = {
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
     "dsir_selection_census": dsir.DSIR_SELECTION_SQL,
+    "semdedup_census": vectors.SEMDEDUP_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

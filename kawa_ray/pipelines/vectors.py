@@ -663,3 +663,250 @@ SELECT n_vectors, n_vectors - n_nodes + n_comp AS n_groups,
        n_nodes - n_comp AS n_duplicates
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embedding space, then drop near-duplicates WITHIN each cluster — the
+# clustering bounds the pairwise work to per-cluster blocks instead of
+# corpus x corpus.  Everything below is engine-deterministic so the
+# iterative clustering carries an exact unrolled SQL oracle (the
+# fs_linkage unrolled-EM precedent):
+#
+# * components quantised q_i = floor(1000 * x_i) (the _EMB_QUANT trick —
+#   exact in float64 on both engines);
+# * a cluster's direction is the INTEGER component sum of its members —
+#   order-free, so distributed partial sums fold exactly; cosine is
+#   scale-invariant, so the un-divided sum works as the centroid;
+# * assignments compare cosines computed as float64 from exact int64
+#   dot / norms (every conversion < 2^53, every op IEEE — both engines
+#   produce bit-identical doubles), ties broken toward the smaller
+#   cluster id (numpy argmax-first == SQL ROW_NUMBER "cos DESC, c ASC");
+# * seeds = the k smallest vec_ids; an emptied cluster keeps its
+#   previous direction; _SEM_ITERS assignment rounds are unrolled in
+#   the oracle;
+# * clusters larger than _SEM_CLUSTER_CAP contribute no drops
+#   (deterministic skip, the dedup trio's segment-cap contract; real
+#   SemDeDup sizes k with the corpus so clusters stay bounded).
+_SEM_K = 8
+_SEM_ITERS = 2           # assignment rounds (seed round + 1 recompute)
+_SEM_THRESHOLD = 0.35    # fixture's near-dup cosine regime
+_SEM_CLUSTER_CAP = 4096
+
+
+def _sem_quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    return ids, labels, np.floor(M * _EMB_QUANT).astype(np.int64)
+
+
+def _sem_assign(Q: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """argmax_c cos(q, S_c), ties to the smallest c.  Integer dots and
+    norms (exact), one IEEE multiply/sqrt/divide each — bit-identical
+    to the oracle's scalar expressions."""
+    qn2 = np.einsum("ij,ij->i", Q, Q)
+    if (qn2 == 0).any():
+        raise ValueError("zero quantised vector; unit-norm precondition broken")
+    sn2 = np.einsum("ij,ij->i", S, S)
+    dots = Q @ S.T
+    cos = dots / np.sqrt(qn2.astype(np.float64)[:, None]
+                         * sn2.astype(np.float64)[None, :])
+    return np.argmax(cos, axis=1).astype(np.int64)
+
+
+def semdedup_census(sf_dir: str, k: int = _SEM_K, iters: int = _SEM_ITERS,
+                    threshold: float = _SEM_THRESHOLD,
+                    cluster_cap: int = _SEM_CLUSTER_CAP) -> pd.DataFrame:
+    """-> per-label (n_vecs, n_dropped): vectors with a smaller-id
+    same-cluster neighbour at cosine >= threshold are dropped (the
+    keep-first greedy SemDeDup rule).
+
+    Scale shape: seeds and per-iteration cluster sums are k x dim int64
+    partials folded on the driver (model-artifact-sized, the lm_quality
+    fold rule); each assignment round is one streaming map_batches with
+    the (k, dim) direction matrix captured in the closure (~4 KB); the
+    dedup pass shuffles (vec_id, label, cluster, packed q) once on the
+    cluster id and runs the per-cluster block pairwise check in-batch
+    — no corpus-sized driver state, no all-pairs outside a cluster."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    ds = _read_emb(sf_dir)
+
+    # seeds: the k smallest vec_ids (per-batch min-k partials)
+    def seed_partial(t: pa.Table) -> pd.DataFrame:
+        ids, _, Q = _sem_quant(t)
+        order = np.argsort(ids)[:k]
+        return pd.DataFrame({"vec_id": ids[order],
+                             "q": [Q[i].tobytes() for i in order]})
+
+    cand: list[tuple[int, bytes]] = []
+    for b in ds.map_batches(seed_partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pandas"):
+        cand.extend(zip(b["vec_id"].astype(int), b["q"]))
+    cand.sort(key=lambda r: r[0])
+    if len(cand) < k:
+        raise ValueError(f"need at least k={k} vectors")
+    S = np.stack([np.frombuffer(qb, dtype=np.int64) for _, qb in cand[:k]])
+    dim = S.shape[1]
+
+    # iterations 2..iters: recompute integer sums under the previous
+    # assignment (iteration 1 IS the seed assignment, already in S)
+    for _ in range(iters - 1):
+        S_cur = S.copy()
+
+        def sum_partial(t: pa.Table, _S=S_cur) -> pd.DataFrame:
+            _, _, Q = _sem_quant(t)
+            a = _sem_assign(Q, _S)
+            rows = []
+            for c in np.unique(a):
+                m = Q[a == c]
+                rows.append((int(c), len(m),
+                             m.sum(axis=0, dtype=np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["c", "n", "s"])
+
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(sum_partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pandas"):
+            for c, n, sb in zip(b["c"], b["n"], b["s"]):
+                sums[int(c)] += np.frombuffer(sb, dtype=np.int64)
+                counts[int(c)] += int(n)
+        # emptied clusters keep their previous direction
+        S = np.where((counts > 0)[:, None], sums, S_cur)
+
+    S_fin = S
+
+    def member_rows(t: pa.Table) -> pd.DataFrame:
+        ids, labels, Q = _sem_quant(t)
+        a = _sem_assign(Q, S_fin)
+        return pd.DataFrame({"vec_id": ids, "label": labels, "c": a,
+                             "q": [Q[i].tobytes() for i in range(len(ids))]})
+
+    def cluster_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("c", sort=False):
+            grp = grp.sort_values("vec_id")
+            labels = grp["label"].to_numpy()
+            if len(grp) < 2 or len(grp) > cluster_cap:
+                out.append(pd.DataFrame(
+                    {"label": labels,
+                     "dropped": np.zeros(len(grp), dtype=np.int64)}))
+                continue
+            M = np.stack([np.frombuffer(qb, dtype=np.int64)
+                          for qb in grp["q"]])
+            n2 = np.einsum("ij,ij->i", M, M).astype(np.float64)
+            cos = (M @ M.T) / np.sqrt(n2[:, None] * n2[None, :])
+            sim = cos >= threshold
+            dropped = np.array(
+                [sim[i, :i].any() for i in range(len(grp))], dtype=np.int64)
+            out.append(pd.DataFrame({"label": labels, "dropped": dropped}))
+        if not out:
+            return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                 "n_vecs": pd.Series([], dtype="int64"),
+                                 "n_dropped": pd.Series([], dtype="int64")})
+        allr = pd.concat(out, ignore_index=True)
+        return (allr.assign(n_vecs=1)
+                .groupby("label", as_index=False)
+                .agg(n_vecs=("n_vecs", "sum"), n_dropped=("dropped", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        partition_reduce(
+            ds.map_batches(member_rows, batch_format="pyarrow"),
+            "c", cluster_part)
+        .groupby("label")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("n_dropped", alias_name="n_dropped"))
+        .to_pandas()
+    )
+    out["label"] = out["label"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def _semdedup_sql(k: int = _SEM_K, iters: int = _SEM_ITERS,
+                  threshold: float = _SEM_THRESHOLD,
+                  cluster_cap: int = _SEM_CLUSTER_CAP) -> str:
+    """Fully unrolled k-means + within-cluster dedup.  Every numeric
+    step mirrors the Ray path: integer component sums, float64 cosine
+    from exact ints, ROW_NUMBER ties toward the smaller cluster id."""
+    assert iters == 2, "oracle unrolls exactly 2 assignment rounds"
+
+    def assign_cte(dcte: str, scte: str, sncte: str, out: str) -> str:
+        return f"""{out}d AS (
+  SELECT q.vec_id, s.c, SUM(q.qv * s.sv) AS dot
+  FROM qcomp q JOIN {scte} s ON s.i = q.i GROUP BY 1, 2
+), {out} AS (
+  SELECT vec_id, c FROM (
+    SELECT d.vec_id, d.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY CAST(d.dot AS DOUBLE)
+                      / SQRT(CAST(qn.n2 AS DOUBLE) * CAST(sn.sn2 AS DOUBLE))
+                      DESC, d.c ASC) AS rn
+    FROM {out}d d
+    JOIN qn ON qn.vec_id = d.vec_id
+    JOIN {sncte} sn ON sn.c = d.c) WHERE rn = 1
+)"""
+
+    return f"""
+WITH qcomp AS (
+  SELECT vec_id, label, u.i,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {_EMB_QUANT}) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS u(i)
+), qn AS (
+  SELECT vec_id, SUM(qv * qv) AS n2 FROM qcomp GROUP BY vec_id
+), seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), s0 AS (
+  SELECT s.c, q.i, q.qv AS sv FROM seeds s JOIN qcomp q USING (vec_id)
+), s0n AS (
+  SELECT c, SUM(sv * sv) AS sn2 FROM s0 GROUP BY c
+), {assign_cte("a1d", "s0", "s0n", "a1")}
+, s1 AS (
+  SELECT a.c, q.i, SUM(q.qv) AS sv
+  FROM a1 a JOIN qcomp q USING (vec_id) GROUP BY 1, 2
+), s1f AS (
+  SELECT c, i, sv FROM s1
+  UNION ALL
+  SELECT c, i, sv FROM s0 WHERE c NOT IN (SELECT DISTINCT c FROM s1)
+), s1n AS (
+  SELECT c, SUM(sv * sv) AS sn2 FROM s1f GROUP BY c
+), {assign_cte("a2d", "s1f", "s1n", "a2")}
+, csize AS (
+  SELECT c, COUNT(*) AS n FROM a2 GROUP BY c
+), cpairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM a2 x JOIN a2 y ON x.c = y.c AND x.vec_id < y.vec_id
+  JOIN csize cs ON cs.c = x.c
+  WHERE cs.n <= {cluster_cap}
+), pdot AS (
+  SELECT p.a, p.b, SUM(qa.qv * qb.qv) AS dot
+  FROM cpairs p
+  JOIN qcomp qa ON qa.vec_id = p.a
+  JOIN qcomp qb ON qb.vec_id = p.b AND qb.i = qa.i
+  GROUP BY 1, 2
+), drops AS (
+  SELECT DISTINCT p.b AS vec_id
+  FROM pdot p
+  JOIN qn na ON na.vec_id = p.a
+  JOIN qn nb ON nb.vec_id = p.b
+  WHERE CAST(p.dot AS DOUBLE)
+        / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+        >= {threshold}
+)
+SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM embeddings e LEFT JOIN drops d USING (vec_id)
+GROUP BY e.label ORDER BY label
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()
