@@ -72,6 +72,7 @@ def run_bench() -> dict:
             bm25,
             builder,
             docs,
+            dsir,
             lm_quality,
             media,
             relational,
@@ -111,6 +112,11 @@ def run_bench() -> dict:
             ("customers_without_big_orders", relational.customers_without_big_orders),
             ("minhash_keep_best", docs.minhash_keep_best),
             ("user_pagerank", builder.user_pagerank),
+            # round-4 additions: cross-dump incremental dedup, data
+            # selection (DSIR), semantic dedup (SemDeDup)
+            ("cross_dump_neardup_census", docs.cross_dump_neardup_census),
+            ("dsir_selection_census", dsir.dsir_selection_census),
+            ("semdedup_census", vectors.semdedup_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for
