@@ -137,3 +137,83 @@ GROUP BY 1, 2 ORDER BY hour, lang
 
 PAGE_DOMAIN_CENSUS_SQL = _domain_sql()
 CRAWL_HOURLY_CENSUS_SQL = _hourly_sql()
+
+
+def url_filter_census(sf_dir: str) -> pd.DataFrame:
+    """URL/domain blocklist filtering — the RefinedWeb/UT1-style crawl
+    pre-filter: drop pages whose host is on a blocklist before any
+    content work.  -> per-lang (n_pages, n_blocked).
+
+    The sandbox blocklist is the deterministic ``md5_low64(domain) % 10
+    == 0`` domain slice (no external data; ~10% of hosts, the UT1 list's
+    slot), but the PLUMBING is the real one: pass 1 streams the corpus
+    and folds the per-batch distinct blocked domains (domain-scale, the
+    size class of the real 4.6M-entry UT1 list), the folded set ships
+    ONCE via ``ray.put``, and pass 2 filters every batch against the
+    broadcast set — the standard small-side semi-join, never a shuffle.
+    The oracle applies the hash rule directly (same md5 semantics:
+    ``md5_number_lower`` == ``md5_low64``)."""
+    import numpy as np
+    import ray
+
+    from kawa_ray.functions.minhash import md5_low64_many
+
+    def _domains(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(t.column("url"), "/", max_splits=3)
+        return np.asarray(pc.list_element(parts, 2).to_pylist(), dtype=object)
+
+    def blocked_partial(t: pa.Table) -> pd.DataFrame:
+        dom = pd.unique(_domains(t))
+        hits = dom[md5_low64_many(dom) % 10 == 0]
+        # str dtype (not object): Ray's block size estimator chokes on
+        # empty object columns
+        return pd.DataFrame({"domain": pd.Series(hits, dtype="str")})
+
+    blocked: set[str] = set()
+    for b in _read(sf_dir, ["url"]) \
+            .map_batches(blocked_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pandas"):
+        blocked.update(b["domain"])
+    blocked_ref = ray.put(blocked)
+
+    def census(t: pa.Table) -> pd.DataFrame:
+        bl = ray.get(blocked_ref)
+        df = pd.DataFrame({"domain": _domains(t),
+                           "lang": t.column("lang").to_pylist()})
+        df["blocked"] = df["domain"].isin(bl).astype("int64")
+        return (df.assign(n_pages=1)
+                .groupby("lang", as_index=False)
+                .agg(n_pages=("n_pages", "sum"),
+                     n_blocked=("blocked", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, ["url", "lang"])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_blocked", alias_name="n_blocked"))
+        .to_pandas()
+    )
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["n_blocked"] = out["n_blocked"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _url_filter_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, lang
+  FROM read_parquet('{_pages_path_sql()}')
+)
+SELECT lang, COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN md5_number_lower(domain) % 10 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+URL_FILTER_CENSUS_SQL = _url_filter_sql()

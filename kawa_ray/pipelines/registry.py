@@ -213,6 +213,8 @@ EXTRA_QUERIES = {
     # url/warc_ts/lang — the CC-pipeline pre-content steps)
     "page_domain_census": pages_ops.page_domain_census,
     "crawl_hourly_census": pages_ops.crawl_hourly_census,
+    # URL/domain blocklist pre-filter (RefinedWeb's UT1 stage shape)
+    "url_filter_census": pages_ops.url_filter_census,
     # cross-dump incremental dedup (new crawl vs earlier dump)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
     "cross_dump_banddup_census": docs.cross_dump_banddup_census,
@@ -262,6 +264,7 @@ EXTRA_ORACLE_SQL = {
     "decontam_overlap_bloom": textqual.DECONTAM_SQL,
     "page_domain_census": pages_ops.PAGE_DOMAIN_CENSUS_SQL,
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
+    "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
