@@ -59,11 +59,10 @@ def _split(texts: pd.Series):
     return flat, lens
 
 
-def lm_perplexity_scores(sf_dir: str,
-                         reference_sources: tuple[str, ...] = _REFERENCE_SOURCES):
-    """Per-language census of bigram-LM mean-nll scores (integer micro
-    units): (lang, n_scored, n_flagged, avg_nll_micro)."""
-    docs = _read_docs(sf_dir, ["text", "lang", "source"])
+def _lm_model_ref(docs, reference_sources: tuple[str, ...]):
+    """Train pass (reference slice, streaming driver fold) -> ray.put
+    handle to the discretised sparse cost model.  Shared by the census
+    and the CCNet bucketing — semantics unchanged from round 3."""
 
     # ---- train pass over the reference slice: vocab + bigram counts
     def train_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -124,48 +123,68 @@ def lm_perplexity_scores(sf_dir: str,
         for (p, cu), c in bigram_c.items())
     seen_keys = np.fromiter((k for k, _ in seen), dtype=np.int64, count=len(seen))
     seen_vals = np.fromiter((v for _, v in seen), dtype=np.int64, count=len(seen))
-    model_ref = ray.put((w2i, unk, vs, default, seen_keys, seen_vals))
+    return ray.put((w2i, unk, vs, default, seen_keys, seen_vals))
+
+
+def _score_rows(df: pd.DataFrame, model) -> pd.DataFrame:
+    """Per-doc integer mean-nll for one batch under an unpacked model
+    tuple; keeps a ``doc_id`` column when the input has one.  The
+    vectorised gather/bincount hot path, unchanged from round 3."""
+    w2i, unk_id, vs_t, default, seen_keys, seen_vals = model
+    df = df.reset_index(drop=True)
+    flat, lens = _split(df["text"])
+    # vocab-id mapping through the batch VOCABULARY (factorize
+    # once, dict-lookup per distinct token only) — a per-token
+    # pandas .map(dict) was the hot spot at sf0.1
+    tcodes, toks_u = pd.factorize(flat.to_numpy(dtype=object))
+    vocab_ids = np.fromiter(
+        (w2i.get(t, unk_id) for t in toks_u),
+        dtype=np.int64, count=len(toks_u))
+    codes = (vocab_ids[tcodes] if len(toks_u)
+             else np.zeros(0, dtype=np.int64))
+    doc_idx = np.repeat(np.arange(lens.size), lens)
+    same = (doc_idx[:-1] == doc_idx[1:]
+            if codes.size > 1 else np.zeros(0, bool))
+    prev, cur = codes[:-1][same], codes[1:][same]
+    d = doc_idx[:-1][same]
+    micro = default[prev].copy()
+    key = prev * (vs_t + 1) + cur
+    # vectorised sparse override: binary-search the sorted seen-
+    # bigram keys (model-sized), patch matching positions
+    if seen_keys.size:
+        idx = np.searchsorted(seen_keys, key)
+        idx_c = np.minimum(idx, seen_keys.size - 1)
+        hit = seen_keys[idx_c] == key
+        micro[hit] = seen_vals[idx_c[hit]]
+    ndocs = len(df)
+    s = np.bincount(d, weights=micro, minlength=ndocs).astype(np.int64)
+    npos = np.bincount(d, minlength=ndocs).astype(np.int64)
+    scored = npos > 0
+    mean = s[scored] // npos[scored]
+    cols = {"lang": df["lang"].to_numpy()[scored],
+            "mean_nll": mean.astype(np.int64)}
+    if "doc_id" in df.columns:
+        cols = {"doc_id": df["doc_id"].to_numpy()[scored], **cols}
+    return pd.DataFrame(cols)
+
+
+def lm_perplexity_scores(sf_dir: str,
+                         reference_sources: tuple[str, ...] = _REFERENCE_SOURCES):
+    """Per-language census of bigram-LM mean-nll scores (integer micro
+    units): (lang, n_scored, n_flagged, avg_nll_micro)."""
+    docs = _read_docs(sf_dir, ["text", "lang", "source"])
+    model_ref = _lm_model_ref(docs, reference_sources)
 
     # ---- scoring pass over every document: stateless task, the model
     # table arrives via a plasma-local ray.get per batch (free after the
     # first fetch per worker; the stage scales to every CPU)
     def score(df: pd.DataFrame, _ref=model_ref) -> pd.DataFrame:
-        w2i, unk_id, vs_t, default, seen_keys, seen_vals = ray.get(_ref)
-        df = df.reset_index(drop=True)
-        flat, lens = _split(df["text"])
-        # vocab-id mapping through the batch VOCABULARY (factorize
-        # once, dict-lookup per distinct token only) — a per-token
-        # pandas .map(dict) was the hot spot at sf0.1
-        tcodes, toks_u = pd.factorize(flat.to_numpy(dtype=object))
-        vocab_ids = np.fromiter(
-            (w2i.get(t, unk_id) for t in toks_u),
-            dtype=np.int64, count=len(toks_u))
-        codes = (vocab_ids[tcodes] if len(toks_u)
-                 else np.zeros(0, dtype=np.int64))
-        doc_idx = np.repeat(np.arange(lens.size), lens)
-        same = (doc_idx[:-1] == doc_idx[1:]
-                if codes.size > 1 else np.zeros(0, bool))
-        prev, cur = codes[:-1][same], codes[1:][same]
-        d = doc_idx[:-1][same]
-        micro = default[prev].copy()
-        key = prev * (vs_t + 1) + cur
-        # vectorised sparse override: binary-search the sorted seen-
-        # bigram keys (model-sized), patch matching positions
-        if seen_keys.size:
-            idx = np.searchsorted(seen_keys, key)
-            idx_c = np.minimum(idx, seen_keys.size - 1)
-            hit = seen_keys[idx_c] == key
-            micro[hit] = seen_vals[idx_c[hit]]
-        ndocs = len(df)
-        s = np.bincount(d, weights=micro, minlength=ndocs).astype(np.int64)
-        npos = np.bincount(d, minlength=ndocs).astype(np.int64)
-        scored = npos > 0
-        mean = s[scored] // npos[scored]
+        rows = _score_rows(df, ray.get(_ref))
         out = pd.DataFrame({
-            "lang": df["lang"].to_numpy()[scored],
+            "lang": rows["lang"],
             "n_scored": 1,
-            "n_flagged": (mean > _FLAG_MICRO).astype(np.int64),
-            "nll_sum": mean,
+            "n_flagged": (rows["mean_nll"] > _FLAG_MICRO).astype(np.int64),
+            "nll_sum": rows["mean_nll"],
         })
         return out.groupby("lang", as_index=False).sum()
 
@@ -186,10 +205,71 @@ def lm_perplexity_scores(sf_dir: str,
     return out.sort_values("lang").reset_index(drop=True)
 
 
-def _lm_sql(reference_sources: tuple[str, ...] = _REFERENCE_SOURCES) -> str:
+def ccnet_bucket_census(sf_dir: str,
+                        reference_sources: tuple[str, ...] = _REFERENCE_SOURCES):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    scored document within its language by LM mean-nll and cut at the
+    per-language terciles — head = the best-scoring third, the slice
+    CCNet feeds to pretraining first.  Ranks use the deterministic
+    order (mean_nll ASC, doc_id ASC); head ends at ceil(n/3), middle at
+    ceil(2n/3).  -> (lang, bucket, n_docs, avg_nll_micro).
+
+    Scale shape: train fold + one streaming scoring pass as in
+    ``lm_perplexity_scores``, then ONE hash-partition shuffle of the
+    (doc_id, lang, mean_nll) rows on lang and an in-partition lexsort.
+    Exact terciles need each language's scores co-located — fine here
+    and honest at single-language-shard scale; production CCNet derives
+    the cutoffs from a per-language SAMPLE and this function's bucket
+    rule is exactly what that sample pass would replicate."""
+    import math
+
+    from kawa_ray.stages.distinct import partition_reduce
+
+    train_docs = _read_docs(sf_dir, ["text", "lang", "source"])
+    model_ref = _lm_model_ref(train_docs, reference_sources)
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def score(df: pd.DataFrame, _ref=model_ref) -> pd.DataFrame:
+        return _score_rows(df, ray.get(_ref))
+
+    def bucket_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, grp in g.groupby("lang", sort=False):
+            nll = grp["mean_nll"].to_numpy(np.int64)
+            ids = grp["doc_id"].to_numpy(np.int64)
+            order = np.lexsort((ids, nll))
+            n = len(order)
+            h = math.ceil(n / 3.0)
+            m = math.ceil(2 * n / 3.0)
+            bucket = np.full(n, "tail", dtype=object)
+            bucket[:m] = "middle"
+            bucket[:h] = "head"
+            d = pd.DataFrame({"lang": lang, "bucket": bucket,
+                              "nll": nll[order]})
+            out.append(d.groupby(["lang", "bucket"], as_index=False)
+                       .agg(n_docs=("nll", "size"), nll_sum=("nll", "sum")))
+        if not out:
+            return pd.DataFrame({"lang": pd.Series([], dtype="str"),
+                                 "bucket": pd.Series([], dtype="str"),
+                                 "n_docs": pd.Series([], dtype="int64"),
+                                 "avg_nll_micro": pd.Series([], dtype="int64")})
+        allr = pd.concat(out, ignore_index=True)
+        allr["avg_nll_micro"] = (allr["nll_sum"] // allr["n_docs"]).astype("int64")
+        allr["n_docs"] = allr["n_docs"].astype("int64")
+        return allr[["lang", "bucket", "n_docs", "avg_nll_micro"]]
+
+    out = (
+        partition_reduce(
+            docs.map_batches(score, batch_format="pandas"),
+            "lang", bucket_part)
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+def _lm_per_doc_cte(reference_sources: tuple[str, ...]) -> str:
     src_list = ", ".join(f"'{s}'" for s in reference_sources)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, lang, source,
          CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
               ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
@@ -234,7 +314,12 @@ WITH toks AS (
   SELECT doc_id, lang,
          CAST(SUM(micro) AS BIGINT) // COUNT(*) AS mean_nll
   FROM scored GROUP BY 1, 2
-)
+)"""
+
+
+def _lm_sql(reference_sources: tuple[str, ...] = _REFERENCE_SOURCES) -> str:
+    return f"""
+WITH {_lm_per_doc_cte(reference_sources)}
 SELECT lang, COUNT(*) AS n_scored,
        CAST(SUM(CASE WHEN mean_nll > {_FLAG_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_flagged,
@@ -245,7 +330,30 @@ ORDER BY lang
 """
 
 
+def _ccnet_sql(reference_sources: tuple[str, ...] = _REFERENCE_SOURCES) -> str:
+    return f"""
+WITH {_lm_per_doc_cte(reference_sources)}
+, ranked AS (
+  SELECT lang, mean_nll,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY mean_nll, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM per_doc
+), bucketed AS (
+  SELECT lang, mean_nll,
+         CASE WHEN rn <= CAST(CEIL(n / 3.0) AS BIGINT) THEN 'head'
+              WHEN rn <= CAST(CEIL(2 * n / 3.0) AS BIGINT) THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       CAST(SUM(mean_nll) AS BIGINT) // COUNT(*) AS avg_nll_micro
+FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 LM_PERPLEXITY_SQL = _lm_sql()
+CCNET_BUCKET_SQL = _ccnet_sql()
 
 
 # --------------------------------------------------------------------------

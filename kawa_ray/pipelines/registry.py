@@ -223,6 +223,8 @@ EXTRA_QUERIES = {
     "dsir_selection_census": dsir.dsir_selection_census,
     # SemDeDup (Abbas et al. 2023): k-means + within-cluster cosine dedup
     "semdedup_census": vectors.semdedup_census,
+    # CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020)
+    "ccnet_bucket_census": lm_quality.ccnet_bucket_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -270,6 +272,7 @@ EXTRA_ORACLE_SQL = {
     "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
     "dsir_selection_census": dsir.DSIR_SELECTION_SQL,
     "semdedup_census": vectors.SEMDEDUP_SQL,
+    "ccnet_bucket_census": lm_quality.CCNET_BUCKET_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
