@@ -74,11 +74,17 @@ QUERIES = {
     "synonym_clusters_csv": synonym_clusters,
     # ---- text analysis / dedup over documents ----
     "doc_profile_stats": docs.doc_profile_stats,
-    "doc_quality_lang": docs.doc_quality_lang,
+    # round-4 swap: ccnet buckets take doc_quality_lang's quality slot,
+    # semdedup + the cross-dump neardup verify take the simhash/ngram
+    # dedup slots (exact/minhash/winnow keep the family in-window; the
+    # neardup verify carries the exact-Jaccard semantics), dsir takes
+    # stratified_sample_quota's selection slot — all four demoted
+    # queries stay pytest-oracled in the EXTRA tier
+    "ccnet_bucket_census": lm_quality.ccnet_bucket_census,
     "exact_dedup_docs": docs.exact_dedup_docs,
     "minhash_dedup_docs": docs.minhash_dedup_docs,
-    "simhash_dedup_docs": docs.simhash_dedup_docs,
-    "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
+    "semdedup_census": vectors.semdedup_census,
+    "cross_dump_neardup_census": docs.cross_dump_neardup_census,
     "doc_winnow_fingerprints": docs.doc_winnow_fingerprints,
     # round-3 second wave: the LLM-training-data quality/retrieval
     # suite takes the driver slots of family-overlapping entries
@@ -89,7 +95,7 @@ QUERIES = {
     "decontam_overlap": textqual.decontam_overlap,
     "lm_perplexity_scores": lm_quality.lm_perplexity_scores,
     "bm25_topk": bm25.bm25_topk,
-    "stratified_sample_quota": mixtures.stratified_sample_quota,
+    "dsir_selection_census": dsir.dsir_selection_census,
     # K3 upsert/remap/defragment semantics, driver-visible (the
     # split/sample family keeps docs_split_assign in the window;
     # docs_sample_stats moved to the pytest tier to stay within 50)
@@ -125,17 +131,17 @@ ORACLE_SQL = {
     "expand_user_set": builder.EXPAND_USER_SET_SQL,
     "synonym_clusters_csv": SYNONYM_CLUSTERS_SQL,
     "doc_profile_stats": docs.DOC_PROFILE_SQL,
-    "doc_quality_lang": docs.DOC_QUALITY_LANG_SQL,
+    "ccnet_bucket_census": lm_quality.CCNET_BUCKET_SQL,
     "exact_dedup_docs": docs.EXACT_DEDUP_SQL,
     "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,
-    "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
-    "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
+    "semdedup_census": vectors.SEMDEDUP_SQL,
+    "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
     "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,
     "doc_repetition_stats": textqual.DOC_REPETITION_SQL,
     "decontam_overlap": textqual.DECONTAM_SQL,
     "lm_perplexity_scores": lm_quality.LM_PERPLEXITY_SQL,
     "bm25_topk": bm25.BM25_TOPK_SQL,
-    "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
+    "dsir_selection_census": dsir.DSIR_SELECTION_SQL,
     "kb_defragment": kb_maintenance.KB_DEFRAGMENT_SQL,
     "ann_topk": vectors.ANN_TOPK_SQL,
     "ann_ivf_recall": vectors.ANN_RECALL_SQL,
@@ -215,16 +221,15 @@ EXTRA_QUERIES = {
     "crawl_hourly_census": pages_ops.crawl_hourly_census,
     # URL/domain blocklist pre-filter (RefinedWeb's UT1 stage shape)
     "url_filter_census": pages_ops.url_filter_census,
-    # cross-dump incremental dedup (new crawl vs earlier dump)
+    # cross-dump incremental dedup (new crawl vs earlier dump; the
+    # neardup verify is promoted to the driver window)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
     "cross_dump_banddup_census": docs.cross_dump_banddup_census,
-    "cross_dump_neardup_census": docs.cross_dump_neardup_census,
-    # DSIR hashed n-gram importance selection (Xie et al. 2023)
-    "dsir_selection_census": dsir.dsir_selection_census,
-    # SemDeDup (Abbas et al. 2023): k-means + within-cluster cosine dedup
-    "semdedup_census": vectors.semdedup_census,
-    # CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020)
-    "ccnet_bucket_census": lm_quality.ccnet_bucket_census,
+    # round-4 window swap: the four demoted queries stay pytest-oracled
+    "simhash_dedup_docs": docs.simhash_dedup_docs,
+    "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
+    "doc_quality_lang": docs.doc_quality_lang,
+    "stratified_sample_quota": mixtures.stratified_sample_quota,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -269,10 +274,10 @@ EXTRA_ORACLE_SQL = {
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
-    "cross_dump_neardup_census": docs.CROSS_DUMP_NEARDUP_SQL,
-    "dsir_selection_census": dsir.DSIR_SELECTION_SQL,
-    "semdedup_census": vectors.SEMDEDUP_SQL,
-    "ccnet_bucket_census": lm_quality.CCNET_BUCKET_SQL,
+    "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
+    "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
+    "doc_quality_lang": docs.DOC_QUALITY_LANG_SQL,
+    "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
