@@ -117,6 +117,7 @@ def run_bench() -> dict:
             ("cross_dump_neardup_census", docs.cross_dump_neardup_census),
             ("dsir_selection_census", dsir.dsir_selection_census),
             ("semdedup_census", vectors.semdedup_census),
+            ("ccnet_bucket_census", lm_quality.ccnet_bucket_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

@@ -79,7 +79,10 @@ def dsir_selection_census(sf_dir: str):
 
     from kawa_ray.pipelines.docs import _read_docs
 
-    docs = _read_docs(sf_dir, ["doc_id", "lang", "text", "source"])
+    # pruned reads per pass: the count pass needs (text, source), the
+    # weight/score passes only (lang, text)
+    docs = _read_docs(sf_dir, ["text", "source"])
+    docs_score = _read_docs(sf_dir, ["lang", "text"])
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         ids, lens = _doc_buckets(df["text"])
@@ -125,7 +128,7 @@ def dsir_selection_census(sf_dir: str):
         return pd.DataFrame({"sum_w": [int(w.sum())], "n": [len(df)]})
 
     sum_w, n_docs_total = 0, 0
-    for b in docs.map_batches(weight_partial, batch_format="pandas") \
+    for b in docs_score.map_batches(weight_partial, batch_format="pandas") \
                  .iter_batches(batch_format="pandas"):
         sum_w += int(b["sum_w"].sum())
         n_docs_total += int(b["n"].sum())
@@ -144,7 +147,7 @@ def dsir_selection_census(sf_dir: str):
                      sum_weight_micro=("w", "sum")))
 
     out = (
-        docs.map_batches(score, batch_format="pandas")
+        docs_score.map_batches(score, batch_format="pandas")
         .groupby("lang")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("n_selected", alias_name="n_selected"),
