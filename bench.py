@@ -75,6 +75,7 @@ def run_bench() -> dict:
             dsir,
             lm_quality,
             media,
+            pages_ops,
             relational,
             textqual,
             vectors,
@@ -118,6 +119,7 @@ def run_bench() -> dict:
             ("dsir_selection_census", dsir.dsir_selection_census),
             ("semdedup_census", vectors.semdedup_census),
             ("ccnet_bucket_census", lm_quality.ccnet_bucket_census),
+            ("line_dedup_census", pages_ops.line_dedup_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

@@ -203,6 +203,94 @@ def url_filter_census(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def line_dedup_census(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style cross-document line dedup census: every non-empty
+    line (paragraph) of the crawl is deduplicated corpus-wide — of each
+    distinct line's occurrences only one survives (the smallest url);
+    the rest are removed.  This is the boilerplate-removal step that
+    precedes LM quality filtering in the CCNet pipeline (Wenzek et al.
+    2020, §3 "deduplicating paragraphs across shards"), distinct from
+    whole-document dedup: it strips repeated headers/footers/menus
+    from pages that are otherwise unique.  -> per-lang
+    (n_lines, n_removed, chars_removed).
+
+    Shape: pages explode into (lang, url, line) rows in-batch (arrow
+    split + numpy repeat, no Python row loop), then ONE hash-partition
+    exchange on the line string co-locates every occurrence of a line;
+    the per-partition reduce ranks occurrences by url and folds the
+    per-lang census, so only lang-cardinality partials leave the
+    exchange.  Never a broadcast line set, never driver state — lines
+    cross the all-to-all once, the same cost class as the winnow /
+    substring fingerprint ops.  (Same-url ties in the rank are
+    attribution-invariant: equal lines have equal length and equal urls
+    have one lang, so the census is deterministic either way.)"""
+    import numpy as np
+
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lines = pc.split_pattern(t.column("text"), "\n")
+        n = pc.list_value_length(lines).to_numpy()
+        df = pd.DataFrame({
+            "lang": np.repeat(np.asarray(t.column("lang").to_pylist(), dtype=object), n),
+            "url": np.repeat(np.asarray(t.column("url").to_pylist(), dtype=object), n),
+            "line": pc.list_flatten(lines).to_pandas(),
+        })
+        return df[df["line"] != ""]
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["line", "url"], kind="stable")
+        removed = g.groupby("line", sort=False).cumcount() > 0
+        return (pd.DataFrame({
+            "lang": g["lang"],
+            "r": removed.astype("int64"),
+            "c": (g["line"].str.len() * removed).astype("int64"),
+        }).groupby("lang", as_index=False)
+          .agg(n_lines=("r", "size"), n_removed=("r", "sum"),
+               chars_removed=("c", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        partition_reduce(
+            _read(sf_dir, ["url", "text", "lang"])
+            .map_batches(explode, batch_format="pyarrow"),
+            "line", census_part)
+        .groupby("lang")
+        .aggregate(Sum("n_lines", alias_name="n_lines"),
+                   Sum("n_removed", alias_name="n_removed"),
+                   Sum("chars_removed", alias_name="chars_removed"))
+        .to_pandas()
+    )
+    for c in ("n_lines", "n_removed", "chars_removed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _line_dedup_sql() -> str:
+    return f"""
+WITH l AS (
+  SELECT lang, url, UNNEST(string_split(text, chr(10))) AS line
+  FROM read_parquet('{_pages_path_sql()}')
+), nz AS (
+  SELECT * FROM l WHERE line <> ''
+), r AS (
+  SELECT lang, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY url) AS rn
+  FROM nz
+)
+SELECT lang, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN rn > 1 THEN LENGTH(line) ELSE 0 END) AS BIGINT) AS chars_removed
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+LINE_DEDUP_CENSUS_SQL = _line_dedup_sql()
+
+
 def _url_filter_sql() -> str:
     return f"""
 WITH d AS (

@@ -221,6 +221,8 @@ EXTRA_QUERIES = {
     "crawl_hourly_census": pages_ops.crawl_hourly_census,
     # URL/domain blocklist pre-filter (RefinedWeb's UT1 stage shape)
     "url_filter_census": pages_ops.url_filter_census,
+    # CCNet cross-document line (paragraph) dedup — boilerplate removal
+    "line_dedup_census": pages_ops.line_dedup_census,
     # cross-dump incremental dedup (new crawl vs earlier dump; the
     # neardup verify is promoted to the driver window)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
@@ -272,6 +274,7 @@ EXTRA_ORACLE_SQL = {
     "page_domain_census": pages_ops.PAGE_DOMAIN_CENSUS_SQL,
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
+    "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
