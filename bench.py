@@ -76,6 +76,7 @@ def run_bench() -> dict:
             lm_quality,
             media,
             pages_ops,
+            quality_classifier,
             relational,
             textqual,
             vectors,
@@ -120,6 +121,8 @@ def run_bench() -> dict:
             ("semdedup_census", vectors.semdedup_census),
             ("ccnet_bucket_census", lm_quality.ccnet_bucket_census),
             ("line_dedup_census", pages_ops.line_dedup_census),
+            ("quality_classifier_census",
+             quality_classifier.quality_classifier_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

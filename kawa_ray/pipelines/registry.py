@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, quality_classifier, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -223,6 +223,8 @@ EXTRA_QUERIES = {
     "url_filter_census": pages_ops.url_filter_census,
     # CCNet cross-document line (paragraph) dedup — boilerplate removal
     "line_dedup_census": pages_ops.line_dedup_census,
+    # GPT-3/FineWeb-style trained quality classifier (full-batch GD)
+    "quality_classifier_census": quality_classifier.quality_classifier_census,
     # cross-dump incremental dedup (new crawl vs earlier dump; the
     # neardup verify is promoted to the driver window)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
@@ -275,6 +277,7 @@ EXTRA_ORACLE_SQL = {
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
+    "quality_classifier_census": quality_classifier.QUALITY_CLASSIFIER_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,
