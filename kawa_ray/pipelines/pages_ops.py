@@ -214,18 +214,23 @@ def line_dedup_census(sf_dir: str) -> pd.DataFrame:
     from pages that are otherwise unique.  -> per-lang
     (n_lines, n_removed, chars_removed).
 
-    Shape: pages explode into (lang, url, line) rows in-batch (arrow
-    split + numpy repeat, no Python row loop), then ONE hash-partition
-    exchange on the line string co-locates every occurrence of a line;
-    the per-partition reduce ranks occurrences by url and folds the
-    per-lang census, so only lang-cardinality partials leave the
-    exchange.  Never a broadcast line set, never driver state — lines
-    cross the all-to-all once, the same cost class as the winnow /
-    substring fingerprint ops.  (Same-url ties in the rank are
-    attribution-invariant: equal lines have equal length and equal urls
-    have one lang, so the census is deterministic either way.)"""
+    Shape: pages explode into line rows in-batch (arrow split + numpy
+    repeat, no Python row loop), each line reduced to its 64-bit md5
+    before the exchange — what actually crosses the ONE hash-partition
+    all-to-all is (line_hash, url_hash, lang, len), ~3-4x lighter than
+    the raw strings, and the per-partition rank is an integer sort.
+    Hashing the paragraphs instead of comparing them verbatim is the
+    real CCNet design (its dedup keys are SHA1 prefixes of normalized
+    paragraphs); the oracle mirrors the hash bit-for-bit
+    (``md5_number_lower`` == ``md5_low64``), so parity stays exact.
+    The per-partition reduce ranks each hash group by (url_hash, lang,
+    len) — fully deterministic even across hash ties — keeps the first
+    occurrence and folds the per-lang census, so only lang-cardinality
+    partials leave the exchange.  Never a broadcast line set, never
+    driver state."""
     import numpy as np
 
+    from kawa_ray.functions.minhash import md5_low64_many
     from kawa_ray.stages.distinct import partition_reduce
 
     def explode(t: pa.Table) -> pd.DataFrame:
@@ -233,20 +238,26 @@ def line_dedup_census(sf_dir: str) -> pd.DataFrame:
 
         lines = pc.split_pattern(t.column("text"), "\n")
         n = pc.list_value_length(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        # hash the (few) urls once, then repeat per line
+        uh = np.repeat(md5_low64_many(t.column("url").to_pylist()), n)
         df = pd.DataFrame({
-            "lang": np.repeat(np.asarray(t.column("lang").to_pylist(), dtype=object), n),
-            "url": np.repeat(np.asarray(t.column("url").to_pylist(), dtype=object), n),
-            "line": pc.list_flatten(lines).to_pandas(),
+            "lang": np.repeat(
+                np.asarray(t.column("lang").to_pylist(), dtype=object), n),
+            "uh": uh,
+            "h": md5_low64_many(flat.to_pylist()),
+            "l": pc.utf8_length(flat).to_numpy().astype("int64"),
+            "keep": pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
         })
-        return df[df["line"] != ""]
+        return df.loc[df["keep"], ["lang", "uh", "h", "l"]]
 
     def census_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["line", "url"], kind="stable")
-        removed = g.groupby("line", sort=False).cumcount() > 0
+        g = g.sort_values(["h", "uh", "lang", "l"], kind="stable")
+        removed = g.groupby("h", sort=False).cumcount() > 0
         return (pd.DataFrame({
             "lang": g["lang"],
             "r": removed.astype("int64"),
-            "c": (g["line"].str.len() * removed).astype("int64"),
+            "c": (g["l"] * removed).astype("int64"),
         }).groupby("lang", as_index=False)
           .agg(n_lines=("r", "size"), n_removed=("r", "sum"),
                chars_removed=("c", "sum")))
@@ -257,7 +268,7 @@ def line_dedup_census(sf_dir: str) -> pd.DataFrame:
         partition_reduce(
             _read(sf_dir, ["url", "text", "lang"])
             .map_batches(explode, batch_format="pyarrow"),
-            "line", census_part)
+            "h", census_part)
         .groupby("lang")
         .aggregate(Sum("n_lines", alias_name="n_lines"),
                    Sum("n_removed", alias_name="n_removed"),
@@ -275,15 +286,17 @@ WITH l AS (
   SELECT lang, url, UNNEST(string_split(text, chr(10))) AS line
   FROM read_parquet('{_pages_path_sql()}')
 ), nz AS (
-  SELECT * FROM l WHERE line <> ''
+  SELECT lang, md5_number_lower(url) AS uh, md5_number_lower(line) AS h,
+         LENGTH(line) AS l
+  FROM l WHERE line <> ''
 ), r AS (
-  SELECT lang, line,
-         ROW_NUMBER() OVER (PARTITION BY line ORDER BY url) AS rn
+  SELECT lang, l,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY uh, lang, l) AS rn
   FROM nz
 )
 SELECT lang, COUNT(*) AS n_lines,
        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-       CAST(SUM(CASE WHEN rn > 1 THEN LENGTH(line) ELSE 0 END) AS BIGINT) AS chars_removed
+       CAST(SUM(CASE WHEN rn > 1 THEN l ELSE 0 END) AS BIGINT) AS chars_removed
 FROM r GROUP BY lang ORDER BY lang
 """
 

@@ -141,6 +141,7 @@ def main() -> None:
         ngram_jaccard_dedup_docs,
     )
     from kawa_ray.pipelines.dsir import dsir_selection_census
+    from kawa_ray.pipelines.quality_classifier import quality_classifier_census
     from kawa_ray.pipelines.substring_dedup import doc_substring_dup_census
 
     queries = [
@@ -152,6 +153,7 @@ def main() -> None:
         ("user_pagerank", user_pagerank),
         ("cross_dump_neardup_census", cross_dump_neardup_census),
         ("dsir_selection_census", dsir_selection_census),
+        ("quality_classifier_census", quality_classifier_census),
     ]
     res: dict = {"copies": COPIES, "queries": {}}
     for name, fn in queries:
@@ -169,6 +171,26 @@ def main() -> None:
             "rows_big": int(len(big)),
         }
         print(name, res["queries"][name], flush=True)
+
+    # pages-corpus op: its 16x datum is the sf0.1 -> sf1.6 pages pair
+    # (50k -> 800k pages; the dirs only carry the scale factor — the
+    # query reads the generated pages corpus, not the testdata tables)
+    from kawa_ray.pipelines.pages_ops import line_dedup_census
+
+    t0 = time.perf_counter()
+    small = line_dedup_census(SRC)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big = line_dedup_census("/root/testdata/sf1.6")
+    t_big = time.perf_counter() - t0
+    res["queries"]["line_dedup_census"] = {
+        "sf0.1_sec": round(t_small, 2),
+        "x16_sec": round(t_big, 2),
+        "time_ratio": round(t_big / max(t_small, 1e-9), 2),
+        "rows_small": int(len(small)),
+        "rows_big": int(len(big)),
+    }
+    print("line_dedup_census", res["queries"]["line_dedup_census"], flush=True)
 
     res["winnow_shuffle_sf0.1"] = winnow_shuffle_stats(SRC)
     res["winnow_shuffle_x16"] = winnow_shuffle_stats(DST)
