@@ -60,7 +60,12 @@ QUERIES = {
     "top_parts_by_price": relational.top_parts_by_price,
     "region_revenue": relational.region_revenue,
     "user_sessions": relational.user_sessions,
-    "events_dedup_first": relational.events_dedup_first,
+    # round-4 session-4 swap: the trained quality classifier takes the
+    # events_dedup_first slot (the hash-partition keep-first family
+    # stays window-covered by exact_dedup_docs; events_dedup_first is
+    # pytest-oracled in the EXTRA tier) — no window row demonstrated
+    # distributed model TRAINING before this
+    "quality_classifier_census": quality_classifier.quality_classifier_census,
     "event_value_quantiles": relational.event_value_quantiles,
     "approx_distinct_users": relational.approx_distinct_users,
     "purchase_asof_click": relational.purchase_asof_click,
@@ -119,7 +124,7 @@ ORACLE_SQL = {
     "top_parts_by_price": relational.TOP_PARTS_SQL,
     "region_revenue": relational.REGION_REVENUE_SQL,
     "user_sessions": relational.USER_SESSIONS_SQL,
-    "events_dedup_first": relational.EVENTS_DEDUP_SQL,
+    "quality_classifier_census": quality_classifier.QUALITY_CLASSIFIER_SQL,
     "event_value_quantiles": relational.EVENT_VALUE_QUANTILES_SQL,
     "approx_distinct_users": relational.APPROX_DISTINCT_SQL,
     "purchase_asof_click": relational.PURCHASE_ASOF_SQL,
@@ -222,9 +227,12 @@ EXTRA_QUERIES = {
     # URL/domain blocklist pre-filter (RefinedWeb's UT1 stage shape)
     "url_filter_census": pages_ops.url_filter_census,
     # CCNet cross-document line (paragraph) dedup — boilerplate removal
+    # (stays EXTRA: the pages-table oracles are built against the
+    # sf0.001 corpus, the pytest tier's fixed scale; the driver
+    # compares at sf0.01, so pages ops can't hold window slots)
     "line_dedup_census": pages_ops.line_dedup_census,
-    # GPT-3/FineWeb-style trained quality classifier (full-batch GD)
-    "quality_classifier_census": quality_classifier.quality_classifier_census,
+    # demoted by the session-4 swap (quality classifier promoted)
+    "events_dedup_first": relational.events_dedup_first,
     # cross-dump incremental dedup (new crawl vs earlier dump; the
     # neardup verify is promoted to the driver window)
     "cross_dump_dedup_census": docs.cross_dump_dedup_census,
@@ -277,7 +285,7 @@ EXTRA_ORACLE_SQL = {
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
-    "quality_classifier_census": quality_classifier.QUALITY_CLASSIFIER_SQL,
+    "events_dedup_first": relational.EVENTS_DEDUP_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
     "simhash_dedup_docs": docs.SIMHASH_DEDUP_SQL,

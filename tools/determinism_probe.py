@@ -34,6 +34,8 @@ def main() -> None:
         simhash_dedup_docs,
     )
     from kawa_ray.pipelines.linkage import link_pages
+    from kawa_ray.pipelines.pages_ops import line_dedup_census
+    from kawa_ray.pipelines.quality_classifier import quality_classifier_census
     from kawa_ray.sources.pages import ensure_pages
 
     res: dict[str, str] = {}
@@ -43,6 +45,10 @@ def main() -> None:
         ("ngram_jaccard_dedup_docs", ngram_jaccard_dedup_docs),
         ("minhash_keep_best", minhash_keep_best),
         ("user_pagerank", user_pagerank),
+        # session-4 ops: integer-sum gradients / hash-partition line
+        # ranks must be batching- and parallelism-independent too
+        ("quality_classifier_census", quality_classifier_census),
+        ("line_dedup_census", line_dedup_census),
     ]:
         df = fn(sf)
         df = df.sort_values(list(df.columns)).reset_index(drop=True)
