@@ -304,6 +304,106 @@ FROM r GROUP BY lang ORDER BY lang
 LINE_DEDUP_CENSUS_SQL = _line_dedup_sql()
 
 
+# RE2-compatible PII patterns, shared VERBATIM with the SQL oracle
+# (pyarrow and DuckDB both run RE2, so non-overlapping match sets are
+# identical by construction)
+_PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phones": r"\+?\d[\d\s-]{7,}\d",
+}
+
+
+def pii_scrub_census(sf_dir: str) -> pd.DataFrame:
+    """PII redaction census — the training-data scrubbing step
+    (BigScience ROOTS / RedPajama-v2 flag-and-redact): count email /
+    IPv4 / phone-shaped spans per page and the characters a redaction
+    pass would remove.  -> per-lang (n_pages, n_pages_with_pii, emails,
+    ipv4s, phones, chars_redacted).
+
+    chars_redacted sums each pattern's matched span lengths against the
+    ORIGINAL text (patterns counted independently, not cumulatively —
+    the census convention; a span matching two patterns counts under
+    both).  Fully vectorised single pass: RE2 count + replace kernels
+    per batch, per-lang partials, one tiny groupby — no shuffle on page
+    cardinality, nothing driver-side."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        text = t.column("text")
+        base_len = pc.utf8_length(text).to_numpy().astype("int64")
+        cols = {"lang": t.column("lang").to_pylist()}
+        redacted = np.zeros(t.num_rows, dtype="int64")
+        any_hit = np.zeros(t.num_rows, dtype=bool)
+        for name, pat in _PII_PATTERNS.items():
+            cnt = pc.count_substring_regex(text, pat).to_numpy().astype("int64")
+            stripped = pc.utf8_length(
+                pc.replace_substring_regex(text, pat, "")
+            ).to_numpy().astype("int64")
+            cols[name] = cnt
+            redacted += base_len - stripped
+            any_hit |= cnt > 0
+        df = pd.DataFrame(cols)
+        df["chars_redacted"] = redacted
+        df["with_pii"] = any_hit.astype("int64")
+        df["n_pages"] = 1
+        return (df.groupby("lang", as_index=False)
+                .agg(n_pages=("n_pages", "sum"),
+                     n_pages_with_pii=("with_pii", "sum"),
+                     emails=("emails", "sum"), ipv4s=("ipv4s", "sum"),
+                     phones=("phones", "sum"),
+                     chars_redacted=("chars_redacted", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_pages_with_pii", alias_name="n_pages_with_pii"),
+                   Sum("emails", alias_name="emails"),
+                   Sum("ipv4s", alias_name="ipv4s"),
+                   Sum("phones", alias_name="phones"),
+                   Sum("chars_redacted", alias_name="chars_redacted"))
+        .to_pandas()
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _pii_scrub_sql() -> str:
+    e, i, p = (_PII_PATTERNS["emails"], _PII_PATTERNS["ipv4s"],
+               _PII_PATTERNS["phones"])
+    return f"""
+WITH c AS (
+  SELECT lang,
+         LEN(REGEXP_EXTRACT_ALL(text, '{e}')) AS emails,
+         LEN(REGEXP_EXTRACT_ALL(text, '{i}')) AS ipv4s,
+         LEN(REGEXP_EXTRACT_ALL(text, '{p}')) AS phones,
+         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '{e}', '', 'g')))
+         + (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '{i}', '', 'g')))
+         + (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '{p}', '', 'g')))
+           AS chars_redacted
+  FROM read_parquet('{_pages_path_sql()}')
+)
+SELECT lang, COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN emails + ipv4s + phones > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pages_with_pii,
+       CAST(SUM(emails) AS BIGINT) AS emails,
+       CAST(SUM(ipv4s) AS BIGINT) AS ipv4s,
+       CAST(SUM(phones) AS BIGINT) AS phones,
+       CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+PII_SCRUB_CENSUS_SQL = _pii_scrub_sql()
+
+
 def _url_filter_sql() -> str:
     return f"""
 WITH d AS (

@@ -231,6 +231,8 @@ EXTRA_QUERIES = {
     # sf0.001 corpus, the pytest tier's fixed scale; the driver
     # compares at sf0.01, so pages ops can't hold window slots)
     "line_dedup_census": pages_ops.line_dedup_census,
+    # PII flag-and-redact census (ROOTS/RedPajama-v2 scrubbing step)
+    "pii_scrub_census": pages_ops.pii_scrub_census,
     # demoted by the session-4 swap (quality classifier promoted)
     "events_dedup_first": relational.events_dedup_first,
     # cross-dump incremental dedup (new crawl vs earlier dump; the
@@ -285,6 +287,7 @@ EXTRA_ORACLE_SQL = {
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
+    "pii_scrub_census": pages_ops.PII_SCRUB_CENSUS_SQL,
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
