@@ -206,8 +206,9 @@ def url_filter_census(sf_dir: str) -> pd.DataFrame:
 def line_dedup_census(sf_dir: str) -> pd.DataFrame:
     """CCNet-style cross-document line dedup census: every non-empty
     line (paragraph) of the crawl is deduplicated corpus-wide — of each
-    distinct line's occurrences only one survives (the smallest url);
-    the rest are removed.  This is the boilerplate-removal step that
+    distinct line's occurrences only one survives (the one whose url
+    has the smallest 64-bit md5 — an arbitrary-but-deterministic pick,
+    NOT lexicographic url order); the rest are removed.  This is the boilerplate-removal step that
     precedes LM quality filtering in the CCNet pipeline (Wenzek et al.
     2020, §3 "deduplicating paragraphs across shards"), distinct from
     whole-document dedup: it strips repeated headers/footers/menus

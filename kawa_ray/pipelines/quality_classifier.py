@@ -63,7 +63,11 @@ def _features(t: pa.Table) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     text = t.column("text")
-    trimmed = pc.utf8_trim_whitespace(text)
+    # trim EXACTLY the oracle's character set (' \t\n\r') — a full
+    # Unicode-whitespace trim would diverge from TRIM(text, ' \t\n\r')
+    # on \f/\v/ideographic-space edges and shift every downstream
+    # feature (review finding; latent on the current corpus)
+    trimmed = pc.utf8_trim(text, " \t\n\r")
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     raw_n = pc.list_value_length(toks).to_numpy().astype("int64")
     empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
@@ -197,6 +201,23 @@ def _step_sql(prev: str, grad: str) -> str:
         for j in range(5))
 
 
+def _unrolled_iters_sql(sig: str) -> str:
+    """One s{i}/g{i}/w{i} CTE triple per GD iteration, generated from
+    the SAME ``_ITERS`` constant the Python loop uses — bumping the
+    constant keeps oracle and engine in lockstep (review finding)."""
+    out = []
+    for i in range(1, _ITERS + 1):
+        prev = f"w{i - 1}"
+        out.append(f""", s{i} AS (
+  SELECT f.*, {sig.replace('z', f'({_z_sql(prev)})')} AS s
+  FROM f CROSS JOIN {prev}
+), g{i} AS ({_grad_sql(f"s{i}")}
+), w{i} AS (
+  SELECT {_step_sql(prev, f"g{i}")} FROM {prev} CROSS JOIN g{i}
+)""")
+    return "".join(out)
+
+
 def _classifier_sql() -> str:
     srcs = ",".join(f"'{s}'" for s in _POSITIVE_SOURCES)
     stop = ",".join(f"'{s}'" for s in sorted(_STOP_EN))
@@ -224,23 +245,11 @@ WITH t AS (
   FROM t
 ), w0 AS (
   SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3, 0.0 AS a4
-), s1 AS (
-  SELECT f.*, {sig.replace('z', f'({_z_sql("w0")})')} AS s
-  FROM f CROSS JOIN w0
-), g1 AS ({_grad_sql("s1")}
-), w1 AS (
-  SELECT {_step_sql("w0", "g1")} FROM w0 CROSS JOIN g1
-), s2 AS (
-  SELECT f.*, {sig.replace('z', f'({_z_sql("w1")})')} AS s
-  FROM f CROSS JOIN w1
-), g2 AS ({_grad_sql("s2")}
-), w2 AS (
-  SELECT {_step_sql("w1", "g2")} FROM w1 CROSS JOIN g2
-), scored AS (
+){_unrolled_iters_sql(sig)}, scored AS (
   SELECT f.lang,
-         CAST(FLOOR(({sig.replace('z', f'({_z_sql("w2")})')}) * 1000000.0)
+         CAST(FLOOR(({sig.replace('z', f'({_z_sql(f"w{_ITERS}")})')}) * 1000000.0)
               AS BIGINT) AS micro
-  FROM f CROSS JOIN w2
+  FROM f CROSS JOIN w{_ITERS}
 ), tot AS (
   SELECT CAST(SUM(micro) AS BIGINT) AS sw, COUNT(*) AS nn FROM scored
 )
