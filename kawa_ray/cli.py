@@ -88,6 +88,29 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_classify(args) -> int:
+    ray = _ray_up(args.num_cpus)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from kawa_ray.pipelines.quality_classifier import classify_corpus
+
+    t0 = time.time()
+    res = classify_corpus(args.sf_dir, out_root=args.out,
+                          n_shards=args.n_shards)
+    summary = {
+        "mode": "classify",
+        "out": res["out_root"],
+        "weights": [round(x, 6) for x in res["w"]],
+        "census": {r["lang"]: int(r["n_kept"])
+                   for _, r in res["census"].iterrows()},
+        "seconds": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="kawa_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -108,6 +131,16 @@ def main(argv=None) -> int:
     clean.add_argument("--n-shards", type=int, default=8)
     clean.add_argument("--num-cpus", type=int, default=None)
     clean.set_defaults(fn=cmd_clean)
+    cls = sub.add_parser(
+        "classify",
+        help="train the quality classifier and materialize the selected "
+             "corpus (resumable)")
+    cls.add_argument("--sf-dir", required=True,
+                     help="input dir containing documents.parquet")
+    cls.add_argument("--out", default=None, help="output root (default /tmp)")
+    cls.add_argument("--n-shards", type=int, default=8)
+    cls.add_argument("--num-cpus", type=int, default=None)
+    cls.set_defaults(fn=cmd_classify)
     args = ap.parse_args(argv)
     return args.fn(args)
 

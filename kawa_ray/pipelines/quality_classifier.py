@@ -115,13 +115,12 @@ def _scores(df: pd.DataFrame, w: tuple[float, ...]) -> np.ndarray:
     return 0.5 + z / (2.0 * (1.0 + np.abs(z)))
 
 
-def quality_classifier_census(sf_dir: str):
-    """-> per-lang (n_docs, n_selected, sum_score_micro)."""
+def train_weights(sf_dir: str) -> tuple[float, ...]:
+    """The distributed training loop: ``_ITERS`` full-batch GD passes
+    over (text, source); each pass folds five integer gradient
+    components + a row count on the driver."""
     docs_train = _read_docs(sf_dir, ["text", "source"])
-    docs_score = _read_docs(sf_dir, ["lang", "text"])
-
     w = (0.0, 0.0, 0.0, 0.0, 0.0)
-    n_total = 0
     for _ in range(_ITERS):
         def grad_partial(t: pa.Table, w=w) -> pd.DataFrame:
             df = _features(t)
@@ -142,17 +141,31 @@ def quality_classifier_census(sf_dir: str):
                 g[j] += int(b[f"g{j}"].sum())
         w = tuple(w[j] - _LR * ((float(g[j]) / _MICRO) / float(n_total))
                   for j in range(5))
+    return w
 
+
+def selection_scalars(sf_dir: str, w: tuple[float, ...]) -> tuple[int, int]:
+    """One scoring pass folding the two selection scalars: total micro
+    score and doc count (selected = micro * nn > sw, integer-exact)."""
     def total_partial(t: pa.Table) -> pd.DataFrame:
         df = _features(t)
         micro = np.floor(_scores(df, w) * _MICRO).astype("int64")
         return pd.DataFrame({"sw": [int(micro.sum())], "n": [len(df)]})
 
     sw, nn = 0, 0
-    for b in docs_score.map_batches(total_partial, batch_format="pyarrow") \
-                       .iter_batches(batch_format="pandas"):
+    for b in _read_docs(sf_dir, ["text"]) \
+            .map_batches(total_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pandas"):
         sw += int(b["sw"].sum())
         nn += int(b["n"].sum())
+    return sw, nn
+
+
+def quality_classifier_census(sf_dir: str):
+    """-> per-lang (n_docs, n_selected, sum_score_micro)."""
+    w = train_weights(sf_dir)
+    sw, nn = selection_scalars(sf_dir, w)
+    docs_score = _read_docs(sf_dir, ["lang", "text"])
 
     def census(t: pa.Table) -> pd.DataFrame:
         df = _features(t)
@@ -176,6 +189,80 @@ def quality_classifier_census(sf_dir: str):
     for c in ("n_docs", "n_selected", "sum_score_micro"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+class ClassifyWorker:
+    """Per-shard classify-and-write worker (checkpoint layer contract:
+    weights + selection scalars load once per actor in __init__)."""
+
+    def __init__(self, stage, out_dir, fingerprint, columns=None,
+                 w=(), sw=0, nn=0):
+        from kawa_ray.state.checkpoint import ShardWorker
+
+        # composition keeps the base __call__ (atomic write + metrics)
+        self._base = ShardWorker(stage, out_dir, fingerprint, columns)
+        self._base.transform = self.transform
+        self.w, self.sw, self.nn = tuple(w), int(sw), int(nn)
+
+    def transform(self, table: pa.Table, pid: int) -> pa.Table:
+        df = _features(table)
+        micro = np.floor(_scores(df, self.w) * _MICRO).astype("int64")
+        keep = (micro * self.nn) > self.sw
+        return table.filter(pa.array(keep))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._base(batch)
+
+
+def classify_corpus(sf_dir: str, out_root: str | None = None,
+                    n_shards: int = 8, concurrency: int = 4) -> dict:
+    """Train the quality classifier, then WRITE the selected documents
+    as partitioned Parquet, resumable per shard — `kawa_ray.cli
+    classify`, the GPT-3-style filter as a materializing pipeline.
+    The kept set is byte-decided by the same integer comparison the
+    census reports, so the written corpus is driver-checkable against
+    ``quality_classifier_census``'s n_selected (tests assert equality).
+    Returns {census: DataFrame(lang, n_kept), manifest, out_root, w}."""
+    import hashlib
+    import json
+    import os
+
+    import ray.data as rd
+
+    from kawa_ray.pipelines.clean_corpus import _ensure_shards
+    from kawa_ray.state.checkpoint import run_sharded_stage, stage_output_paths
+
+    if out_root is None:
+        base = os.path.basename(os.path.normpath(sf_dir))
+        out_root = f"/tmp/kawa_ray_classify/{base}-v1"
+    w = train_weights(sf_dir)
+    sw, nn = selection_scalars(sf_dir, w)
+    shard_paths = _ensure_shards(sf_dir, os.path.join(out_root, "shards"),
+                                 n_shards)
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp_raw = json.dumps({"w": list(w), "sw": sw, "nn": nn, "version": "v1",
+                         "input": shard_paths,
+                         "src_mtime": os.path.getmtime(src)})
+    fingerprint = hashlib.blake2b(fp_raw.encode(), digest_size=8).hexdigest()
+    manifest = run_sharded_stage(
+        shard_paths, stage="classify", out_root=out_root,
+        fingerprint=fingerprint, worker_cls=ClassifyWorker,
+        worker_kwargs={"columns": ["doc_id", "text", "lang"],
+                       "w": list(w), "sw": sw, "nn": nn},
+        concurrency=concurrency,
+    )
+    parts = stage_output_paths(out_root, "classify")
+    acc: dict[str, int] = {}
+    for b in rd.read_parquet(parts, columns=["lang"]).map_batches(
+            lambda df: df.groupby("lang", as_index=False).size().rename(
+                columns={"size": "n"}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        for lang, n in zip(b["lang"], b["n"]):
+            acc[lang] = acc.get(lang, 0) + int(n)
+    census = pd.DataFrame(sorted(acc.items()), columns=["lang", "n_kept"])
+    census["n_kept"] = census["n_kept"].astype("int64")
+    return {"census": census, "manifest": manifest, "out_root": out_root,
+            "w": w}
 
 
 def _z_sql(a: str) -> str:
