@@ -49,6 +49,7 @@ import pyarrow as pa
 from ray.data.aggregate import Sum
 
 from kawa_ray.pipelines.docs import _STOP_EN, _read_docs
+from kawa_ray.state.checkpoint import ShardWorker
 
 _POSITIVE_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 _LR = 4.0
@@ -191,17 +192,13 @@ def quality_classifier_census(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
-class ClassifyWorker:
+class ClassifyWorker(ShardWorker):
     """Per-shard classify-and-write worker (checkpoint layer contract:
     weights + selection scalars load once per actor in __init__)."""
 
     def __init__(self, stage, out_dir, fingerprint, columns=None,
                  w=(), sw=0, nn=0):
-        from kawa_ray.state.checkpoint import ShardWorker
-
-        # composition keeps the base __call__ (atomic write + metrics)
-        self._base = ShardWorker(stage, out_dir, fingerprint, columns)
-        self._base.transform = self.transform
+        super().__init__(stage, out_dir, fingerprint, columns)
         self.w, self.sw, self.nn = tuple(w), int(sw), int(nn)
 
     def transform(self, table: pa.Table, pid: int) -> pa.Table:
@@ -209,9 +206,6 @@ class ClassifyWorker:
         micro = np.floor(_scores(df, self.w) * _MICRO).astype("int64")
         keep = (micro * self.nn) > self.sw
         return table.filter(pa.array(keep))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return self._base(batch)
 
 
 def classify_corpus(sf_dir: str, out_root: str | None = None,
