@@ -103,17 +103,9 @@ def clean_corpus(sf_dir: str, out_root: str | None = None, n_shards: int = 8,
         worker_cls=CleanWorker, worker_kwargs={"columns": ["doc_id", "text", "lang"]},
         concurrency=concurrency,
     )
-    parts = stage_output_paths(out_root, "clean")
-    acc: dict[str, int] = {}
-    cleaned = rd.read_parquet(parts, columns=["lang"])
-    for b in cleaned.map_batches(
-            lambda df: df.groupby("lang", as_index=False).size().rename(
-                columns={"size": "n"}),
-            batch_format="pandas").iter_batches(batch_format="pandas"):
-        for lang, n in zip(b["lang"], b["n"]):
-            acc[lang] = acc.get(lang, 0) + int(n)
-    census = pd.DataFrame(sorted(acc.items()), columns=["lang", "n_kept"])
-    census["n_kept"] = census["n_kept"].astype("int64")
+    from kawa_ray.state.checkpoint import read_lang_census
+
+    census = read_lang_census(stage_output_paths(out_root, "clean"))
     return {"census": census, "manifest": manifest, "out_root": out_root}
 
 

@@ -196,9 +196,11 @@ class ClassifyWorker(ShardWorker):
     """Per-shard classify-and-write worker (checkpoint layer contract:
     weights + selection scalars load once per actor in __init__)."""
 
-    def __init__(self, stage, out_dir, fingerprint, columns=None,
-                 w=(), sw=0, nn=0):
+    def __init__(self, stage, out_dir, fingerprint, *, w, sw, nn,
+                 columns=None):
         super().__init__(stage, out_dir, fingerprint, columns)
+        # required keyword-only: a missing model would otherwise write
+        # a valid-looking EMPTY corpus and checkpoint it as done
         self.w, self.sw, self.nn = tuple(w), int(sw), int(nn)
 
     def transform(self, table: pa.Table, pid: int) -> pa.Table:
@@ -221,19 +223,44 @@ def classify_corpus(sf_dir: str, out_root: str | None = None,
     import json
     import os
 
-    import ray.data as rd
-
     from kawa_ray.pipelines.clean_corpus import _ensure_shards
-    from kawa_ray.state.checkpoint import run_sharded_stage, stage_output_paths
+    from kawa_ray.state.checkpoint import (
+        read_lang_census,
+        run_sharded_stage,
+        stage_output_paths,
+    )
 
     if out_root is None:
         base = os.path.basename(os.path.normpath(sf_dir))
         out_root = f"/tmp/kawa_ray_classify/{base}-v1"
-    w = train_weights(sf_dir)
-    sw, nn = selection_scalars(sf_dir, w)
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    # the trained model is itself a checkpoint artifact: a resume with
+    # an unchanged input skips the 3 training/scoring passes entirely
+    # (w is a deterministic function of the input + constants)
+    os.makedirs(out_root, exist_ok=True)
+    model_path = os.path.join(out_root, "model.json")
+    ident = {"src": os.path.abspath(src), "src_mtime": os.path.getmtime(src),
+             "iters": _ITERS, "lr": _LR, "version": "v1",
+             "sources": list(_POSITIVE_SOURCES)}
+    model = None
+    if os.path.exists(model_path):
+        with open(model_path) as f:
+            stored = json.load(f)
+        if stored.get("ident") == ident:
+            model = stored
+    if model is None:
+        w = train_weights(sf_dir)
+        sw, nn = selection_scalars(sf_dir, w)
+        model = {"ident": ident, "w": list(w), "sw": sw, "nn": nn}
+        tmp = f"{model_path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(model, f)  # float repr round-trips exactly
+        os.replace(tmp, model_path)
+    w = tuple(model["w"])
+    sw, nn = int(model["sw"]), int(model["nn"])
     shard_paths = _ensure_shards(sf_dir, os.path.join(out_root, "shards"),
                                  n_shards)
-    src = os.path.join(sf_dir, "documents.parquet")
     fp_raw = json.dumps({"w": list(w), "sw": sw, "nn": nn, "version": "v1",
                          "input": shard_paths,
                          "src_mtime": os.path.getmtime(src)})
@@ -245,16 +272,7 @@ def classify_corpus(sf_dir: str, out_root: str | None = None,
                        "w": list(w), "sw": sw, "nn": nn},
         concurrency=concurrency,
     )
-    parts = stage_output_paths(out_root, "classify")
-    acc: dict[str, int] = {}
-    for b in rd.read_parquet(parts, columns=["lang"]).map_batches(
-            lambda df: df.groupby("lang", as_index=False).size().rename(
-                columns={"size": "n"}),
-            batch_format="pandas").iter_batches(batch_format="pandas"):
-        for lang, n in zip(b["lang"], b["n"]):
-            acc[lang] = acc.get(lang, 0) + int(n)
-    census = pd.DataFrame(sorted(acc.items()), columns=["lang", "n_kept"])
-    census["n_kept"] = census["n_kept"].astype("int64")
+    census = read_lang_census(stage_output_paths(out_root, "classify"))
     return {"census": census, "manifest": manifest, "out_root": out_root,
             "w": w}
 
