@@ -122,6 +122,7 @@ def run_bench() -> dict:
             ("ccnet_bucket_census", lm_quality.ccnet_bucket_census),
             ("line_dedup_census", pages_ops.line_dedup_census),
             ("pii_scrub_census", pages_ops.pii_scrub_census),
+            ("cc_prefilter_census", pages_ops.cc_prefilter_census),
             ("quality_classifier_census",
              quality_classifier.quality_classifier_census),
         ):

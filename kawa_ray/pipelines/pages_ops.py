@@ -305,6 +305,147 @@ FROM r GROUP BY lang ORDER BY lang
 LINE_DEDUP_CENSUS_SQL = _line_dedup_sql()
 
 
+def cc_prefilter_census(sf_dir: str) -> pd.DataFrame:
+    """Composed Common-Crawl pre-filter: URL/domain blocklist (the
+    url_filter stage) THEN cross-document line dedup over the surviving
+    pages (the line_dedup stage) — the two content-independent steps a
+    CC pipeline chains before any quality work, verified end-to-end
+    under ONE oracle.  -> per-lang (n_pages, n_lines_kept, chars_kept).
+
+    Stage order matters and is pinned on both engines: blocked pages
+    are dropped BEFORE dedup, so a boilerplate line whose first
+    occurrence sat on a blocked domain survives on the first unblocked
+    page instead.  Shapes are the two stages' own: pass 1 folds the
+    blocked-domain set (broadcast once via ray.put), pass 2 explodes
+    surviving pages into hashed line rows through the single
+    hash-partition exchange; only lang-sized partials leave it."""
+    import numpy as np
+    import ray
+
+    from kawa_ray.functions.minhash import md5_low64_many
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def _domains(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(t.column("url"), "/", max_splits=3)
+        return np.asarray(pc.list_element(parts, 2).to_pylist(), dtype=object)
+
+    def blocked_partial(t: pa.Table) -> pd.DataFrame:
+        dom = pd.unique(_domains(t))
+        hits = dom[md5_low64_many(dom) % 10 == 0]
+        return pd.DataFrame({"domain": pd.Series(hits, dtype="str")})
+
+    blocked: set[str] = set()
+    for b in _read(sf_dir, ["url"]) \
+            .map_batches(blocked_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pandas"):
+        blocked.update(b["domain"])
+    blocked_ref = ray.put(blocked)
+
+    def explode_kept(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        keep_page = ~pd.Series(_domains(t)).isin(ray.get(blocked_ref)).to_numpy()
+        t = t.filter(pa.array(keep_page))
+        lines = pc.split_pattern(t.column("text"), "\n")
+        n = pc.list_value_length(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        df = pd.DataFrame({
+            "lang": np.repeat(
+                np.asarray(t.column("lang").to_pylist(), dtype=object), n),
+            "uh": np.repeat(md5_low64_many(t.column("url").to_pylist()), n),
+            "h": md5_low64_many(flat.to_pylist()),
+            "l": pc.utf8_length(flat).to_numpy().astype("int64"),
+            "keep": pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
+        })
+        # one page-count row per surviving page rides the same stream,
+        # scattered by url hash (a constant key would funnel every
+        # page row into one partition); l = -1 marks them
+        puh = md5_low64_many(t.column("url").to_pylist())
+        pages = pd.DataFrame({
+            "lang": np.asarray(t.column("lang").to_pylist(), dtype=object),
+            "uh": puh,
+            "h": puh,
+            "l": np.full(t.num_rows, -1, dtype="int64"),
+            "keep": np.ones(t.num_rows, dtype=bool),
+        })
+        return pd.concat([df.loc[df["keep"]], pages], ignore_index=True) \
+                 .drop(columns="keep")
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        pages = g[g["l"] < 0]
+        lines = g[g["l"] >= 0]
+        lines = lines.sort_values(["h", "uh", "lang", "l"], kind="stable")
+        kept = lines.groupby("h", sort=False).cumcount() == 0
+        per_lang = (pd.DataFrame({
+            "lang": lines["lang"],
+            "k": kept.astype("int64"),
+            "c": (lines["l"] * kept).astype("int64"),
+        }).groupby("lang", as_index=False)
+          .agg(n_lines_kept=("k", "sum"), chars_kept=("c", "sum"))
+          .assign(n_pages=0))
+        pg = (pages.groupby("lang", as_index=False).size()
+              .rename(columns={"size": "n_pages"})
+              .assign(n_lines_kept=0, chars_kept=0))
+        return pd.concat([per_lang, pg], ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        partition_reduce(
+            _read(sf_dir, ["url", "text", "lang"])
+            .map_batches(explode_kept, batch_format="pyarrow"),
+            "h", census_part)
+        .groupby("lang")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_lines_kept", alias_name="n_lines_kept"),
+                   Sum("chars_kept", alias_name="chars_kept"))
+        .to_pandas()
+    )
+    for c in ("n_pages", "n_lines_kept", "chars_kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _cc_prefilter_sql() -> str:
+    return f"""
+WITH kept_pages AS (
+  SELECT url, lang, text
+  FROM read_parquet('{_pages_path_sql()}')
+  WHERE md5_number_lower(regexp_extract(url, '{_DOMAIN_RE}', 1)) % 10 <> 0
+), l AS (
+  SELECT lang, url, UNNEST(string_split(text, chr(10))) AS line
+  FROM kept_pages
+), nz AS (
+  SELECT lang, md5_number_lower(url) AS uh, md5_number_lower(line) AS h,
+         LENGTH(line) AS l
+  FROM l WHERE line <> ''
+), r AS (
+  SELECT lang, l,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY uh, lang, l) AS rn
+  FROM nz
+), line_census AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept,
+         CAST(SUM(CASE WHEN rn = 1 THEN l ELSE 0 END) AS BIGINT)
+             AS chars_kept
+  FROM r GROUP BY lang
+), page_census AS (
+  SELECT lang, COUNT(*) AS n_pages FROM kept_pages GROUP BY lang
+)
+SELECT p.lang, p.n_pages,
+       COALESCE(lc.n_lines_kept, 0) AS n_lines_kept,
+       COALESCE(lc.chars_kept, 0) AS chars_kept
+FROM page_census p LEFT JOIN line_census lc USING (lang)
+ORDER BY p.lang
+"""
+
+
+CC_PREFILTER_CENSUS_SQL = _cc_prefilter_sql()
+
+
 # RE2-compatible PII patterns, shared VERBATIM with the SQL oracle
 # (pyarrow and DuckDB both run RE2, so non-overlapping match sets are
 # identical by construction)

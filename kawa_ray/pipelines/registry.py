@@ -233,6 +233,8 @@ EXTRA_QUERIES = {
     "line_dedup_census": pages_ops.line_dedup_census,
     # PII flag-and-redact census (ROOTS/RedPajama-v2 scrubbing step)
     "pii_scrub_census": pages_ops.pii_scrub_census,
+    # composed CC pre-filter: url blocklist THEN line dedup, one oracle
+    "cc_prefilter_census": pages_ops.cc_prefilter_census,
     # demoted by the session-4 swap (quality classifier promoted)
     "events_dedup_first": relational.events_dedup_first,
     # cross-dump incremental dedup (new crawl vs earlier dump; the
@@ -288,6 +290,7 @@ EXTRA_ORACLE_SQL = {
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
     "pii_scrub_census": pages_ops.PII_SCRUB_CENSUS_SQL,
+    "cc_prefilter_census": pages_ops.CC_PREFILTER_CENSUS_SQL,
     "events_dedup_first": relational.EVENTS_DEDUP_SQL,
     "cross_dump_dedup_census": docs.CROSS_DUMP_DEDUP_SQL,
     "cross_dump_banddup_census": docs.CROSS_DUMP_BANDDUP_SQL,
