@@ -69,6 +69,7 @@ def run_bench() -> dict:
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
         from kawa_ray.pipelines import (
+            blocking_ops,
             bm25,
             builder,
             docs,
@@ -125,6 +126,9 @@ def run_bench() -> dict:
             ("cc_prefilter_census", pages_ops.cc_prefilter_census),
             ("quality_classifier_census",
              quality_classifier.quality_classifier_census),
+            # session-5 additions: classic ER candidate generation
+            ("snm_blocking_census", blocking_ops.snm_blocking_census),
+            ("metablocking_census", blocking_ops.metablocking_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

@@ -1,0 +1,326 @@
+"""Classic ER candidate-generation methods beyond the reference's own
+LSH / lexicon-key blocking: sorted-neighborhood (Hernandez & Stolfo,
+SIGMOD 1995) and meta-blocking pair weighting (Papadakis et al., TKDE
+2014).  Both are census-shaped (summary-sized outputs) with exact
+DuckDB oracles; both run over the ``documents`` table.
+
+Scale shapes
+------------
+``snm_blocking_census`` is the sort-based blocking family: the global
+sort is realised as an ordered-prefix bucket shuffle plus a distributed
+prefix sum (the ``pack_sequences_plan`` idiom) — no stage holds more
+than one bucket, no driver table bigger than the distinct bucket
+prefixes (bounded by langs x charset^2; raise ``bucket_chars`` at
+10^12 docs).  The sliding window never materialises pairs as a
+dataset: the rank-block shuffle ships two small copies of each rank
+row (owner + ghost) and each partition folds its pair census in-batch.
+
+``metablocking_census`` reuses the MinHash-LSH banding stage
+(docs._cross_dump_band_rows) and counts, per candidate pair, HOW MANY
+band buckets propose it (the CBS weight of Papadakis et al.) — the
+pruning signal that lets a 100 TB blocking graph drop low-evidence
+pairs before any expensive verify.  Two hash-partition exchanges
+(band key, then pair), per-partition in-batch reduction, histogram
+partials fold on the driver (weight <= bands rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from kawa_ray.stages.distinct import partition_reduce
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 6
+_SNM_KEY_CHARS = 16
+_SNM_BUCKET_CHARS = 2
+_SNM_PARTITIONS = 64
+
+
+def snm_blocking_census(sf_dir: str, window: int = _SNM_WINDOW,
+                        partitions: int = _SNM_PARTITIONS):
+    """Sorted-neighborhood candidate pairs: sort every document by
+    ``lang || '|' || substr(text, 1, 16)`` (doc_id tiebreak), slide a
+    ``window``-row window, pair each row with its <window predecessors.
+    Census over the candidate set, grouped by whether the pair crosses
+    a language boundary: pair count, same-source count, summed
+    |n_chars| gap — the cheap agreement signals an SNM pass feeds to a
+    match scorer.
+
+    Three streaming passes, zero driver state beyond the bucket-offset
+    dict (distinct ``lang|2-char-prefix`` strings):
+
+    1. bucket counts -> global rank offsets (driver fold; ordered
+       prefix buckets, so lexicographic bucket order == global key
+       order);
+    2. bucket hash-shuffle -> per-bucket in-partition sort assigns each
+       row its GLOBAL rank (offset + position);
+    3. rank-block shuffle (block = rank // window): each rank row is
+       shipped to its own block (owner) and the next (ghost), so every
+       window pair is generated exactly once, in the block of its
+       later member — pairs never exist as a dataset, each partition
+       folds its census partial in-batch.
+
+    Only (rank, lang, source, n_chars) cross the wide exchanges — the
+    16-char sort key dies at pass 2, the text never leaves pass 1/2's
+    map stage.  Skew note: a hot key prefix concentrates one bucket on
+    one partition; at real CC scale raise ``_SNM_BUCKET_CHARS`` so
+    buckets stay fine-grained (they only need to fit a partition)."""
+    w = int(window)
+    kc, bc = _SNM_KEY_CHARS, _SNM_BUCKET_CHARS
+
+    # pass 1: bucket counts -> rank offsets
+    ds1 = _read_docs(sf_dir, ["lang", "text"])
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["lang"] + "|" + df["text"].str.slice(0, bc)
+        return b.groupby(b).size().rename("n").rename_axis("bucket").reset_index()
+
+    counts: dict[str, int] = {}
+    for batch in ds1.map_batches(bucket_counts, batch_format="pandas") \
+                    .iter_batches(batch_format="pandas"):
+        for k, n in zip(batch["bucket"], batch["n"]):
+            counts[k] = counts.get(k, 0) + int(n)
+    offsets: dict[str, int] = {}
+    acc = 0
+    for k in sorted(counts):  # prefix-bucket order == global key order
+        offsets[k] = acc
+        acc += counts[k]
+    off_ref = ray.put(offsets)
+
+    # pass 2: global ranks
+    ds2 = _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars", "text"])
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": df["lang"] + "|" + df["text"].str.slice(0, bc),
+            "skey": df["lang"] + "|" + df["text"].str.slice(0, kc),
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "lang": df["lang"].to_numpy(),
+            "source": df["source"].to_numpy(),
+            "n_chars": df["n_chars"].to_numpy("int64"),
+        })
+
+    def rank_part(g: pd.DataFrame, _ref=off_ref) -> pd.DataFrame:
+        offs = ray.get(_ref)
+        out = []
+        for bkt, grp in g.groupby("bucket", sort=False):
+            grp = grp.sort_values(["skey", "doc_id"], kind="mergesort")
+            out.append(pd.DataFrame({
+                "rank": offs[bkt] + np.arange(len(grp), dtype=np.int64),
+                "lang": grp["lang"].to_numpy(),
+                "source": grp["source"].to_numpy(),
+                "n_chars": grp["n_chars"].to_numpy("int64"),
+            }))
+        if not out:
+            return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype="str"),
+                                 "source": pd.Series([], dtype="str"),
+                                 "n_chars": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    ranked = partition_reduce(
+        ds2.map_batches(key_rows, batch_format="pandas"),
+        "bucket", rank_part, partitions=partitions)
+
+    # pass 3: rank-block shuffle -> in-partition window pairs
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(np.int64)
+        own = df.assign(g=r // w, owner=True)
+        gho = df.assign(g=r // w + 1, owner=False)
+        return pd.concat([own, gho], ignore_index=True)
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["g", "rank"], kind="mergesort")
+        gv = g["g"].to_numpy(np.int64)
+        rv = g["rank"].to_numpy(np.int64)
+        own = g["owner"].to_numpy(bool)
+        langs = g["lang"].to_numpy()
+        srcs = g["source"].to_numpy()
+        nc = g["n_chars"].to_numpy(np.int64)
+        parts = []
+        for d in range(1, w):
+            if len(gv) <= d:
+                break
+            # within one g-block ranks are contiguous & complete, so
+            # array distance d == rank distance d; the rank check is a
+            # guard, not a semantic branch
+            m = (gv[d:] == gv[:-d]) & own[d:] & (rv[d:] - rv[:-d] == d)
+            if not m.any():
+                continue
+            parts.append(pd.DataFrame({
+                "same_lang": langs[:-d][m] == langs[d:][m],
+                "ss": (srcs[:-d][m] == srcs[d:][m]).astype(np.int64),
+                "dc": np.abs(nc[d:][m] - nc[:-d][m]),
+            }))
+        if not parts:
+            return pd.DataFrame({"same_lang": pd.Series([], dtype="bool"),
+                                 "n_pairs": pd.Series([], dtype="int64"),
+                                 "n_same_source": pd.Series([], dtype="int64"),
+                                 "sum_abs_dchars": pd.Series([], dtype="int64")})
+        p = pd.concat(parts, ignore_index=True)
+        return p.groupby("same_lang", as_index=False).agg(
+            n_pairs=("ss", "size"), n_same_source=("ss", "sum"),
+            sum_abs_dchars=("dc", "sum"))
+
+    acc2: dict[bool, list[int]] = {}
+    folded = partition_reduce(
+        ranked.map_batches(copies, batch_format="pandas"),
+        "g", pair_part, partitions=partitions)
+    for batch in folded.iter_batches(batch_format="pandas"):
+        for sl, np_, ns, dc in zip(batch["same_lang"], batch["n_pairs"],
+                                   batch["n_same_source"],
+                                   batch["sum_abs_dchars"]):
+            a = acc2.setdefault(bool(sl), [0, 0, 0])
+            a[0] += int(np_); a[1] += int(ns); a[2] += int(dc)
+    out = pd.DataFrame(
+        [(sl, a[0], a[1], a[2]) for sl, a in acc2.items()],
+        columns=["same_lang", "n_pairs", "n_same_source", "sum_abs_dchars"])
+    for c in ("n_pairs", "n_same_source", "sum_abs_dchars"):
+        out[c] = out[c].astype("int64")
+    out["same_lang"] = out["same_lang"].astype(bool)
+    return out.sort_values("same_lang").reset_index(drop=True)
+
+
+def _snm_sql(window: int = _SNM_WINDOW) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY lang || '|' || substr(text, 1, {_SNM_KEY_CHARS}), doc_id
+         ) - 1 AS r
+  FROM documents
+), pairs AS (
+  SELECT (a.lang = b.lang) AS same_lang,
+         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS ss,
+         ABS(a.n_chars - b.n_chars) AS dc
+  FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < {window}
+)
+SELECT same_lang, COUNT(*) AS n_pairs,
+       CAST(SUM(ss) AS BIGINT) AS n_same_source,
+       CAST(SUM(dc) AS BIGINT) AS sum_abs_dchars
+FROM pairs GROUP BY same_lang ORDER BY same_lang
+"""
+
+
+SNM_BLOCKING_SQL = _snm_sql()
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking (CBS pair weights over MinHash-LSH blocks)
+# ---------------------------------------------------------------------------
+
+_MB_MAX_MEMBERS = 64
+
+
+def metablocking_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                        max_members: int = _MB_MAX_MEMBERS):
+    """Meta-blocking pair-weight histogram: blocks are the MinHash-LSH
+    band buckets (same banding as the cross-dump family), a candidate
+    pair's weight is the NUMBER of buckets proposing it (the CBS scheme
+    of Papadakis et al.) — weight >= 2 is the standard low-evidence
+    pruning gate.  Output: one row per weight with its pair count
+    (weight <= bands, so the result is always tiny).
+
+    Buckets larger than ``max_members`` are dropped whole (the
+    stopword-like surface guard, identical to the dedup family's
+    per-segment caps and replicated exactly in the oracle).  Two
+    hash-partition exchanges: band rows on the band key (in-partition
+    segment split -> pair emission), pairs on ``a`` (same (a,b) always
+    co-locates; in-partition weight count + histogram partial)."""
+    from kawa_ray.pipelines.docs import _cross_dump_band_rows
+
+    banded = _cross_dump_band_rows(sf_dir, num_perm, bands) \
+        .map_batches(lambda df: df[["doc_id", "band"]], batch_format="pandas")
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["band"].to_numpy(), kind="stable")
+        keys = g["band"].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        for i, j in zip(starts, ends):
+            mem = sorted(set(ids[i:j].tolist()))
+            if len(mem) < 2 or len(mem) > max_members:
+                continue
+            for x in range(len(mem) - 1):
+                for y in range(x + 1, len(mem)):
+                    out_a.append(mem[x])
+                    out_b.append(mem[y])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    def weight_part(g: pd.DataFrame) -> pd.DataFrame:
+        wt = g.groupby(["a", "b"]).size().reset_index(name="w")
+        h = wt.groupby("w").size().reset_index(name="n_pairs")
+        return pd.DataFrame({"weight": h["w"].astype("int64"),
+                             "n_pairs": h["n_pairs"].astype("int64")})
+
+    acc: dict[int, int] = {}
+    folded = partition_reduce(
+        partition_reduce(banded, "band", pairs_part), "a", weight_part)
+    for batch in folded.iter_batches(batch_format="pandas"):
+        for wv, n in zip(batch["weight"], batch["n_pairs"]):
+            acc[int(wv)] = acc.get(int(wv), 0) + int(n)
+    out = pd.DataFrame(sorted(acc.items()), columns=["weight", "n_pairs"])
+    out["weight"] = out["weight"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _metablocking_sql(num_perm: int = 64, bands: int = 16,
+                      max_members: int = _MB_MAX_MEMBERS) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+    from kawa_ray.pipelines.docs import _grams_cte
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_grams_cte(3)}
+, perms(i, pa, pb) AS (VALUES {perm_rows})
+, hm AS (SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams)
+, sig AS (
+  SELECT doc_id, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY doc_id, i)
+, bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rows_per_band})
+, sized AS (
+  SELECT doc_id, band, bkey,
+         COUNT(*) OVER (PARTITION BY band, bkey) AS m
+  FROM bands)
+, pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE a.m <= {max_members})
+, weights AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b)
+SELECT CAST(w AS BIGINT) AS weight, COUNT(*) AS n_pairs
+FROM weights GROUP BY w ORDER BY w
+"""
+
+
+METABLOCKING_SQL = _metablocking_sql()

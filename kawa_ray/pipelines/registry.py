@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, quality_classifier, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import blocking_ops, bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, quality_classifier, relational, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -246,6 +246,10 @@ EXTRA_QUERIES = {
     "ngram_jaccard_dedup_docs": docs.ngram_jaccard_dedup_docs,
     "doc_quality_lang": docs.doc_quality_lang,
     "stratified_sample_quota": mixtures.stratified_sample_quota,
+    # classic ER candidate generation beyond LSH: sorted-neighborhood
+    # window pairs + meta-blocking CBS pair-weight pruning histogram
+    "snm_blocking_census": blocking_ops.snm_blocking_census,
+    "metablocking_census": blocking_ops.metablocking_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -298,6 +302,8 @@ EXTRA_ORACLE_SQL = {
     "ngram_jaccard_dedup_docs": docs.NGRAM_JACCARD_SQL,
     "doc_quality_lang": docs.DOC_QUALITY_LANG_SQL,
     "stratified_sample_quota": mixtures.STRATIFIED_SAMPLE_SQL,
+    "snm_blocking_census": blocking_ops.SNM_BLOCKING_SQL,
+    "metablocking_census": blocking_ops.METABLOCKING_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
