@@ -129,6 +129,8 @@ def run_bench() -> dict:
             # session-5 additions: classic ER candidate generation
             ("snm_blocking_census", blocking_ops.snm_blocking_census),
             ("metablocking_census", blocking_ops.metablocking_census),
+            ("multirule_blocking_census",
+             blocking_ops.multirule_blocking_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

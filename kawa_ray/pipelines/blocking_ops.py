@@ -228,6 +228,37 @@ SNM_BLOCKING_SQL = _snm_sql()
 _MB_MAX_MEMBERS = 64
 
 
+def _segment_pairs(key_col: str, max_members: int):
+    """Per-partition equality-block pair emitter: one numpy segment
+    split on ``key_col`` (the ``_partitioned_band_pairs`` idiom —
+    groupby.map_groups pays per-group dispatch, this pays per
+    partition), blocks larger than ``max_members`` dropped whole.
+    Emits one (a, b) row per block membership — NOT deduplicated
+    across blocks, so callers can count multiplicity (meta-blocking)
+    or dedup downstream (union blocking)."""
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[key_col].to_numpy(), kind="stable")
+        keys = g[key_col].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        for i, j in zip(starts, ends):
+            mem = sorted(set(ids[i:j].tolist()))
+            if len(mem) < 2 or len(mem) > max_members:
+                continue
+            for x in range(len(mem) - 1):
+                for y in range(x + 1, len(mem)):
+                    out_a.append(mem[x])
+                    out_b.append(mem[y])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return pairs_part
+
+
 def metablocking_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
                         max_members: int = _MB_MAX_MEMBERS):
     """Meta-blocking pair-weight histogram: blocks are the MinHash-LSH
@@ -248,24 +279,7 @@ def metablocking_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
     banded = _cross_dump_band_rows(sf_dir, num_perm, bands) \
         .map_batches(lambda df: df[["doc_id", "band"]], batch_format="pandas")
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["band"].to_numpy(), kind="stable")
-        keys = g["band"].to_numpy()[order]
-        ids = g["doc_id"].to_numpy()[order]
-        out_a: list[int] = []
-        out_b: list[int] = []
-        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
-        ends = np.concatenate((starts[1:], [len(keys)]))
-        for i, j in zip(starts, ends):
-            mem = sorted(set(ids[i:j].tolist()))
-            if len(mem) < 2 or len(mem) > max_members:
-                continue
-            for x in range(len(mem) - 1):
-                for y in range(x + 1, len(mem)):
-                    out_a.append(mem[x])
-                    out_b.append(mem[y])
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+    pairs_part = _segment_pairs("band", max_members)
 
     def weight_part(g: pd.DataFrame) -> pd.DataFrame:
         wt = g.groupby(["a", "b"]).size().reset_index(name="w")
@@ -324,3 +338,154 @@ FROM weights GROUP BY w ORDER BY w
 
 
 METABLOCKING_SQL = _metablocking_sql()
+
+
+# ---------------------------------------------------------------------------
+# multi-rule union blocking (the Splink-style OR of blocking rules)
+# ---------------------------------------------------------------------------
+
+_MR_SIZE_BUCKET = 16
+
+
+def multirule_blocking_census(sf_dir: str, num_perm: int = 64,
+                              bands: int = 16,
+                              max_members: int = _MB_MAX_MEMBERS):
+    """Union-of-blocking-rules candidate census — production record
+    linkage ORs several cheap rules so no single key's misses dominate
+    recall (the Splink / Dedupe.io idiom).  Three rules over
+    ``documents``:
+
+    * ``band``   — any shared MinHash-LSH band bucket (fuzzy content);
+    * ``prefix`` — equal ``lang|16-char text prefix`` (the SNM key as an
+      equality rule);
+    * ``size``   — equal ``(lang, n_chars // 16)`` bucket (cheap numeric
+      agreement).
+
+    Output: one row per rule with its DISTINCT candidate-pair count,
+    plus the ``union`` row (distinct pairs proposed by >= 1 rule) —
+    the rule-overlap signal that says what each rule adds.  Blocks
+    above ``max_members`` are dropped whole (replicated in the oracle).
+
+    All four distinct counts ride ONE pair exchange: each rule's pair
+    stream is tagged and unioned lazily, hash-partitioned on ``a``
+    (same (a, b) always co-locates), and each partition folds distinct
+    per-rule + distinct-overall partials in-batch — candidate pairs
+    never reach the driver."""
+    from kawa_ray.pipelines.docs import _cross_dump_band_rows
+
+    def tag(rule: str):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(rule=rule)
+        return add
+
+    band_pairs = partition_reduce(
+        _cross_dump_band_rows(sf_dir, num_perm, bands)
+        .map_batches(lambda df: df[["doc_id", "band"]], batch_format="pandas"),
+        "band", _segment_pairs("band", max_members),
+    ).map_batches(tag("band"), batch_format="pandas")
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "k": df["lang"] + "|" + df["text"].str.slice(0, _SNM_KEY_CHARS),
+        })
+
+    prefix_pairs = partition_reduce(
+        _read_docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(prefix_rows, batch_format="pandas"),
+        "k", _segment_pairs("k", max_members),
+    ).map_batches(tag("prefix"), batch_format="pandas")
+
+    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = df["n_chars"].to_numpy("int64") // _MR_SIZE_BUCKET
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "k": df["lang"] + "|" + pd.Series(bucket).astype(str),
+        })
+
+    size_pairs = partition_reduce(
+        _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(size_rows, batch_format="pandas"),
+        "k", _segment_pairs("k", max_members),
+    ).map_batches(tag("size"), batch_format="pandas")
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        per_rule = (g.drop_duplicates(["rule", "a", "b"])
+                    .groupby("rule").size().reset_index(name="n_pairs"))
+        n_union = len(g.drop_duplicates(["a", "b"]))
+        return pd.concat(
+            [per_rule, pd.DataFrame({"rule": ["union"], "n_pairs": [n_union]})],
+            ignore_index=True)
+
+    acc: dict[str, int] = {}
+    folded = partition_reduce(
+        band_pairs.union(prefix_pairs).union(size_pairs), "a", count_part)
+    for batch in folded.iter_batches(batch_format="pandas"):
+        for rule, n in zip(batch["rule"], batch["n_pairs"]):
+            acc[str(rule)] = acc.get(str(rule), 0) + int(n)
+    out = pd.DataFrame(sorted(acc.items()), columns=["rule", "n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _multirule_sql(num_perm: int = 64, bands: int = 16,
+                   max_members: int = _MB_MAX_MEMBERS) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+    from kawa_ray.pipelines.docs import _grams_cte
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_grams_cte(3)}
+, perms(i, pa, pb) AS (VALUES {perm_rows})
+, hm AS (SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams)
+, sig AS (
+  SELECT doc_id, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY doc_id, i)
+, bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {rows_per_band})
+, bsized AS (
+  SELECT doc_id, band, bkey,
+         COUNT(*) OVER (PARTITION BY band, bkey) AS m
+  FROM bands)
+, band_pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bsized a JOIN bsized b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE a.m <= {max_members})
+, pkey AS (
+  SELECT doc_id, lang || '|' || substr(text, 1, {_SNM_KEY_CHARS}) AS k,
+         COUNT(*) OVER (PARTITION BY lang || '|' || substr(text, 1, {_SNM_KEY_CHARS})) AS m
+  FROM documents)
+, prefix_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM pkey a JOIN pkey b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m <= {max_members})
+, skey AS (
+  SELECT doc_id, lang || '|' || CAST(n_chars // {_MR_SIZE_BUCKET} AS VARCHAR) AS k,
+         COUNT(*) OVER (
+           PARTITION BY lang || '|' || CAST(n_chars // {_MR_SIZE_BUCKET} AS VARCHAR)) AS m
+  FROM documents)
+, size_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM skey a JOIN skey b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m <= {max_members})
+, tagged AS (
+  SELECT 'band' AS rule, a, b FROM band_pairs
+  UNION ALL SELECT 'prefix', a, b FROM prefix_pairs
+  UNION ALL SELECT 'size', a, b FROM size_pairs)
+SELECT rule, COUNT(*) AS n_pairs FROM tagged GROUP BY rule
+UNION ALL
+SELECT 'union', COUNT(*) FROM (SELECT DISTINCT a, b FROM tagged) u
+ORDER BY rule
+"""
+
+
+MULTIRULE_BLOCKING_SQL = _multirule_sql()

@@ -140,6 +140,11 @@ def main() -> None:
         minhash_keep_best,
         ngram_jaccard_dedup_docs,
     )
+    from kawa_ray.pipelines.blocking_ops import (
+        metablocking_census,
+        multirule_blocking_census,
+        snm_blocking_census,
+    )
     from kawa_ray.pipelines.dsir import dsir_selection_census
     from kawa_ray.pipelines.quality_classifier import quality_classifier_census
     from kawa_ray.pipelines.substring_dedup import doc_substring_dup_census
@@ -154,6 +159,9 @@ def main() -> None:
         ("cross_dump_neardup_census", cross_dump_neardup_census),
         ("dsir_selection_census", dsir_selection_census),
         ("quality_classifier_census", quality_classifier_census),
+        ("snm_blocking_census", snm_blocking_census),
+        ("metablocking_census", metablocking_census),
+        ("multirule_blocking_census", multirule_blocking_census),
     ]
     res: dict = {"copies": COPIES, "queries": {}}
     for name, fn in queries:
