@@ -26,6 +26,10 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
+    from kawa_ray.pipelines.blocking_ops import (
+        multirule_blocking_census,
+        snm_blocking_census,
+    )
     from kawa_ray.pipelines.builder import user_pagerank
     from kawa_ray.pipelines.docs import (
         minhash_dedup_docs,
@@ -49,6 +53,10 @@ def main() -> None:
         # ranks must be batching- and parallelism-independent too
         ("quality_classifier_census", quality_classifier_census),
         ("line_dedup_census", line_dedup_census),
+        # session-5 ops: global ranks from bucket offsets / unioned
+        # pair streams must not depend on partition count either
+        ("snm_blocking_census", snm_blocking_census),
+        ("multirule_blocking_census", multirule_blocking_census),
     ]:
         df = fn(sf)
         df = df.sort_values(list(df.columns)).reset_index(drop=True)
