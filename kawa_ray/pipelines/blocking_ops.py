@@ -88,6 +88,9 @@ def snm_blocking_census(sf_dir: str, window: int = _SNM_WINDOW,
     ds1 = _read_docs(sf_dir, ["lang", "text"])
 
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # a 0-row block has no string dtype for .str
+            return pd.DataFrame({"bucket": pd.Series([], dtype="str"),
+                                 "n": pd.Series([], dtype="int64")})
         b = df["lang"] + "|" + df["text"].str.slice(0, bc)
         return b.groupby(b).size().rename("n").rename_axis("bucket").reset_index()
 
@@ -107,6 +110,13 @@ def snm_blocking_census(sf_dir: str, window: int = _SNM_WINDOW,
     ds2 = _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars", "text"])
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="str"),
+                                 "skey": pd.Series([], dtype="str"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype="str"),
+                                 "source": pd.Series([], dtype="str"),
+                                 "n_chars": pd.Series([], dtype="int64")})
         return pd.DataFrame({
             "bucket": df["lang"] + "|" + df["text"].str.slice(0, bc),
             "skey": df["lang"] + "|" + df["text"].str.slice(0, kc),
@@ -228,14 +238,16 @@ SNM_BLOCKING_SQL = _snm_sql()
 _MB_MAX_MEMBERS = 64
 
 
-def _segment_pairs(key_col: str, max_members: int):
+def _segment_pairs(key_col: str, max_members: int, keep_keys: bool = False):
     """Per-partition equality-block pair emitter: one numpy segment
     split on ``key_col`` (the ``_partitioned_band_pairs`` idiom —
     groupby.map_groups pays per-group dispatch, this pays per
     partition), blocks larger than ``max_members`` dropped whole.
     Emits one (a, b) row per block membership — NOT deduplicated
     across blocks, so callers can count multiplicity (meta-blocking)
-    or dedup downstream (union blocking)."""
+    or dedup downstream (union blocking).  ``keep_keys`` adds the
+    block key as a column (callers that fuse several keyed rules into
+    one shuffle recover the rule from it)."""
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(g[key_col].to_numpy(), kind="stable")
@@ -243,6 +255,7 @@ def _segment_pairs(key_col: str, max_members: int):
         ids = g["doc_id"].to_numpy()[order]
         out_a: list[int] = []
         out_b: list[int] = []
+        out_k: list = []
         starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
         ends = np.concatenate((starts[1:], [len(keys)]))
         for i, j in zip(starts, ends):
@@ -253,8 +266,13 @@ def _segment_pairs(key_col: str, max_members: int):
                 for y in range(x + 1, len(mem)):
                     out_a.append(mem[x])
                     out_b.append(mem[y])
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+                    if keep_keys:
+                        out_k.append(keys[i])
+        out = {"a": pd.Series(out_a, dtype="int64"),
+               "b": pd.Series(out_b, dtype="int64")}
+        if keep_keys:
+            out["k"] = pd.Series(out_k, dtype="str")
+        return pd.DataFrame(out)
 
     return pairs_part
 
@@ -370,44 +388,47 @@ def multirule_blocking_census(sf_dir: str, num_perm: int = 64,
     stream is tagged and unioned lazily, hash-partitioned on ``a``
     (same (a, b) always co-locates), and each partition folds distinct
     per-rule + distinct-overall partials in-batch — candidate pairs
-    never reach the driver."""
+    never reach the driver.  The two EQUALITY rules (prefix, size)
+    share one read and one keyed exchange: both keys are emitted
+    rule-prefixed into the same shuffle, and the segment splitter
+    recovers the rule from the key — three exchanges total (band key,
+    equality keys, pairs)."""
     from kawa_ray.pipelines.docs import _cross_dump_band_rows
-
-    def tag(rule: str):
-        def add(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(rule=rule)
-        return add
 
     band_pairs = partition_reduce(
         _cross_dump_band_rows(sf_dir, num_perm, bands)
         .map_batches(lambda df: df[["doc_id", "band"]], batch_format="pandas"),
         "band", _segment_pairs("band", max_members),
-    ).map_batches(tag("band"), batch_format="pandas")
+    ).map_batches(lambda df: df.assign(rule="band"), batch_format="pandas")
 
-    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy("int64"),
-            "k": df["lang"] + "|" + df["text"].str.slice(0, _SNM_KEY_CHARS),
-        })
+    _RULE = {"p": "prefix", "s": "size"}
 
-    prefix_pairs = partition_reduce(
-        _read_docs(sf_dir, ["doc_id", "lang", "text"])
-        .map_batches(prefix_rows, batch_format="pandas"),
-        "k", _segment_pairs("k", max_members),
-    ).map_batches(tag("prefix"), batch_format="pandas")
-
-    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def equality_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "k": pd.Series([], dtype="str")})
+        ids = df["doc_id"].to_numpy("int64")
         bucket = df["n_chars"].to_numpy("int64") // _MR_SIZE_BUCKET
         return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy("int64"),
-            "k": df["lang"] + "|" + pd.Series(bucket).astype(str),
+            "doc_id": np.concatenate([ids, ids]),
+            "k": pd.concat([
+                "p|" + df["lang"] + "|" + df["text"].str.slice(0, _SNM_KEY_CHARS),
+                "s|" + df["lang"] + "|" + pd.Series(bucket, index=df.index).astype(str),
+            ], ignore_index=True),
         })
 
-    size_pairs = partition_reduce(
-        _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
-        .map_batches(size_rows, batch_format="pandas"),
-        "k", _segment_pairs("k", max_members),
-    ).map_batches(tag("size"), batch_format="pandas")
+    base_pairs = _segment_pairs("k", max_members, keep_keys=True)
+
+    def equality_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = base_pairs(g)
+        out["rule"] = out.pop("k").str.slice(0, 1).map(_RULE)
+        return out
+
+    eq_pairs = partition_reduce(
+        _read_docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+        .map_batches(equality_rows, batch_format="pandas"),
+        "k", equality_pairs,
+    )
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
         per_rule = (g.drop_duplicates(["rule", "a", "b"])
@@ -418,8 +439,7 @@ def multirule_blocking_census(sf_dir: str, num_perm: int = 64,
             ignore_index=True)
 
     acc: dict[str, int] = {}
-    folded = partition_reduce(
-        band_pairs.union(prefix_pairs).union(size_pairs), "a", count_part)
+    folded = partition_reduce(band_pairs.union(eq_pairs), "a", count_part)
     for batch in folded.iter_batches(batch_format="pandas"):
         for rule, n in zip(batch["rule"], batch["n_pairs"]):
             acc[str(rule)] = acc.get(str(rule), 0) + int(n)
