@@ -131,6 +131,8 @@ def run_bench() -> dict:
             ("metablocking_census", blocking_ops.metablocking_census),
             ("multirule_blocking_census",
              blocking_ops.multirule_blocking_census),
+            ("multirule_cluster_census",
+             blocking_ops.multirule_cluster_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

@@ -393,6 +393,30 @@ def multirule_blocking_census(sf_dir: str, num_perm: int = 64,
     rule-prefixed into the same shuffle, and the segment splitter
     recovers the rule from the key — three exchanges total (band key,
     equality keys, pairs)."""
+    tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        per_rule = (g.drop_duplicates(["rule", "a", "b"])
+                    .groupby("rule").size().reset_index(name="n_pairs"))
+        n_union = len(g.drop_duplicates(["a", "b"]))
+        return pd.concat(
+            [per_rule, pd.DataFrame({"rule": ["union"], "n_pairs": [n_union]})],
+            ignore_index=True)
+
+    acc: dict[str, int] = {}
+    folded = partition_reduce(tagged, "a", count_part)
+    for batch in folded.iter_batches(batch_format="pandas"):
+        for rule, n in zip(batch["rule"], batch["n_pairs"]):
+            acc[str(rule)] = acc.get(str(rule), 0) + int(n)
+    out = pd.DataFrame(sorted(acc.items()), columns=["rule", "n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _multirule_tagged_pairs(sf_dir: str, num_perm: int, bands: int,
+                            max_members: int) -> rd.Dataset:
+    """The lazy union of the three rules' tagged pair streams
+    (columns a, b, rule; NOT deduplicated across blocks or rules)."""
     from kawa_ray.pipelines.docs import _cross_dump_band_rows
 
     band_pairs = partition_reduce(
@@ -430,26 +454,13 @@ def multirule_blocking_census(sf_dir: str, num_perm: int = 64,
         "k", equality_pairs,
     )
 
-    def count_part(g: pd.DataFrame) -> pd.DataFrame:
-        per_rule = (g.drop_duplicates(["rule", "a", "b"])
-                    .groupby("rule").size().reset_index(name="n_pairs"))
-        n_union = len(g.drop_duplicates(["a", "b"]))
-        return pd.concat(
-            [per_rule, pd.DataFrame({"rule": ["union"], "n_pairs": [n_union]})],
-            ignore_index=True)
-
-    acc: dict[str, int] = {}
-    folded = partition_reduce(band_pairs.union(eq_pairs), "a", count_part)
-    for batch in folded.iter_batches(batch_format="pandas"):
-        for rule, n in zip(batch["rule"], batch["n_pairs"]):
-            acc[str(rule)] = acc.get(str(rule), 0) + int(n)
-    out = pd.DataFrame(sorted(acc.items()), columns=["rule", "n_pairs"])
-    out["n_pairs"] = out["n_pairs"].astype("int64")
-    return out.reset_index(drop=True)
+    return band_pairs.union(eq_pairs)
 
 
-def _multirule_sql(num_perm: int = 64, bands: int = 16,
-                   max_members: int = _MB_MAX_MEMBERS) -> str:
+def _multirule_ctes(num_perm: int = 64, bands: int = 16,
+                    max_members: int = _MB_MAX_MEMBERS) -> str:
+    """CTE chain through ``tagged`` (rule, a, b) — shared by the pair
+    census and the cluster census oracles."""
     from kawa_ray.functions.minhash import _MERSENNE, perm_params
     from kawa_ray.pipelines.docs import _grams_cte
 
@@ -459,8 +470,7 @@ def _multirule_sql(num_perm: int = 64, bands: int = 16,
     )
     rows_per_band = num_perm // bands
     u64 = 1 << 64
-    return f"""
-WITH RECURSIVE {_grams_cte(3)}
+    return f"""{_grams_cte(3)}
 , perms(i, pa, pb) AS (VALUES {perm_rows})
 , hm AS (SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams)
 , sig AS (
@@ -500,7 +510,13 @@ WITH RECURSIVE {_grams_cte(3)}
 , tagged AS (
   SELECT 'band' AS rule, a, b FROM band_pairs
   UNION ALL SELECT 'prefix', a, b FROM prefix_pairs
-  UNION ALL SELECT 'size', a, b FROM size_pairs)
+  UNION ALL SELECT 'size', a, b FROM size_pairs)"""
+
+
+def _multirule_sql(num_perm: int = 64, bands: int = 16,
+                   max_members: int = _MB_MAX_MEMBERS) -> str:
+    return f"""
+WITH RECURSIVE {_multirule_ctes(num_perm, bands, max_members)}
 SELECT rule, COUNT(*) AS n_pairs FROM tagged GROUP BY rule
 UNION ALL
 SELECT 'union', COUNT(*) FROM (SELECT DISTINCT a, b FROM tagged) u
@@ -509,3 +525,104 @@ ORDER BY rule
 
 
 MULTIRULE_BLOCKING_SQL = _multirule_sql()
+
+
+def multirule_cluster_census(sf_dir: str, num_perm: int = 64,
+                             bands: int = 16,
+                             max_members: int = _MB_MAX_MEMBERS):
+    """Blocking -> transitive closure -> cluster-size histogram: the
+    full candidate-generation-to-entity-clusters mini-pipeline over the
+    ``documents`` table.  Connected components over the DISTINCT
+    multi-rule pair union; output one row per cluster size with its
+    cluster count, plus the size-1 row computed by arithmetic
+    (n_docs - nodes-in-pairs; singletons are never enumerated).
+
+    Closure follows the dedup family's convention: union-find over the
+    edge set below ``docs._DRIVER_EDGE_THRESHOLD`` (edges-space driver
+    state), bucketed label propagation above it (tested equal on
+    random graphs in tests/test_properties.py); the size histogram on
+    the scale path folds per-label partition partials, never a
+    node-space driver table."""
+    from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
+    from kawa_ray.stages.clustering import union_find_components
+
+    tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
+    edges = partition_reduce(
+        tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
+
+    n_docs = int(_read_docs(sf_dir, ["doc_id"]).count())
+    n_edges = int(edges.count())
+    hist: dict[int, int] = {}
+    n_nodes = 0
+    if n_edges == 0:
+        pass
+    elif n_edges <= _DRIVER_EDGE_THRESHOLD:
+        edf = edges.to_pandas()
+        groups = union_find_components(
+            zip(edf["a"].astype(str), edf["b"].astype(str)))
+        n_nodes = len(groups)
+        sizes = pd.Series(list(groups.values())).value_counts()
+        for sz, n in sizes.value_counts().items():
+            hist[int(sz)] = int(n)
+    else:
+        from kawa_ray.stages.clustering import (
+            label_propagation_components_bucketed,
+        )
+
+        edges_s = edges.map_batches(
+            lambda df: pd.DataFrame({"a": df["a"].astype(str),
+                                     "b": df["b"].astype(str)}),
+            batch_format="pandas")
+        labels = label_propagation_components_bucketed(edges_s)
+
+        def size_part(g: pd.DataFrame) -> pd.DataFrame:
+            sizes = g.groupby("lbl").size()  # whole label co-locates
+            h = sizes.value_counts()
+            return pd.DataFrame({"size": h.index.astype("int64"),
+                                 "n_clusters": h.to_numpy("int64"),
+                                 "n_nodes": [int(sizes.sum())] + [0] * (len(h) - 1)
+                                 if len(h) else pd.Series([], dtype="int64")})
+
+        for batch in partition_reduce(labels, "lbl", size_part) \
+                .iter_batches(batch_format="pandas"):
+            for sz, n, nn in zip(batch["size"], batch["n_clusters"],
+                                 batch["n_nodes"]):
+                hist[int(sz)] = hist.get(int(sz), 0) + int(n)
+                n_nodes += int(nn)
+
+    hist[1] = hist.get(1, 0) + (n_docs - n_nodes)
+    out = pd.DataFrame(sorted(hist.items()), columns=["size", "n_clusters"])
+    out["size"] = out["size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _multirule_cluster_sql(num_perm: int = 64, bands: int = 16,
+                           max_members: int = _MB_MAX_MEMBERS) -> str:
+    return f"""
+WITH RECURSIVE {_multirule_ctes(num_perm, bands, max_members)}
+, up AS (SELECT DISTINCT a, b FROM tagged)
+-- NOTE: inside a WITH RECURSIVE list, DuckDB 1.0 gives a
+-- non-self-referencing  "X UNION Y"  CTE UNION ALL semantics
+-- (measured: 2x row count); dedup must be an explicit DISTINCT
+, nodes AS (SELECT DISTINCT v FROM
+            (SELECT a AS v FROM up UNION ALL SELECT b FROM up) q)
+, bidir AS (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM up UNION ALL SELECT b, a FROM up) q)
+, reach(node, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN bidir e ON e.a = r.node
+  WHERE r.lbl < e.b
+)
+, comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+, sizes AS (SELECT lbl, COUNT(*) AS sz FROM comp GROUP BY lbl)
+, hist AS (SELECT sz, COUNT(*) AS n FROM sizes GROUP BY sz)
+SELECT CAST(sz AS BIGINT) AS size, CAST(n AS BIGINT) AS n_clusters FROM hist
+UNION ALL
+SELECT 1, (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM nodes)
+ORDER BY size
+"""
+
+
+MULTIRULE_CLUSTER_SQL = _multirule_cluster_sql()

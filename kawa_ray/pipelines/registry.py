@@ -251,6 +251,7 @@ EXTRA_QUERIES = {
     "snm_blocking_census": blocking_ops.snm_blocking_census,
     "metablocking_census": blocking_ops.metablocking_census,
     "multirule_blocking_census": blocking_ops.multirule_blocking_census,
+    "multirule_cluster_census": blocking_ops.multirule_cluster_census,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -306,6 +307,7 @@ EXTRA_ORACLE_SQL = {
     "snm_blocking_census": blocking_ops.SNM_BLOCKING_SQL,
     "metablocking_census": blocking_ops.METABLOCKING_SQL,
     "multirule_blocking_census": blocking_ops.MULTIRULE_BLOCKING_SQL,
+    "multirule_cluster_census": blocking_ops.MULTIRULE_CLUSTER_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,

@@ -143,6 +143,7 @@ def main() -> None:
     from kawa_ray.pipelines.blocking_ops import (
         metablocking_census,
         multirule_blocking_census,
+        multirule_cluster_census,
         snm_blocking_census,
     )
     from kawa_ray.pipelines.dsir import dsir_selection_census
@@ -162,6 +163,7 @@ def main() -> None:
         ("snm_blocking_census", snm_blocking_census),
         ("metablocking_census", metablocking_census),
         ("multirule_blocking_census", multirule_blocking_census),
+        ("multirule_cluster_census", multirule_cluster_census),
     ]
     res: dict = {"copies": COPIES, "queries": {}}
     for name, fn in queries:
