@@ -526,6 +526,12 @@ ORDER BY rule
 
 MULTIRULE_BLOCKING_SQL = _multirule_sql()
 
+# broadcast-LP ceiling: the label table is ~50 bytes/node downloaded
+# per round into each map task, so 50M nodes ~ 2.5 GB — the upper edge
+# of a comfortable worker heap; beyond that the bucketed variant's
+# extra all-to-all is the price of never holding the node space
+_BCAST_NODE_LIMIT = 50_000_000
+
 
 def multirule_cluster_census(sf_dir: str, num_perm: int = 64,
                              bands: int = 16,
@@ -537,12 +543,18 @@ def multirule_cluster_census(sf_dir: str, num_perm: int = 64,
     cluster count, plus the size-1 row computed by arithmetic
     (n_docs - nodes-in-pairs; singletons are never enumerated).
 
-    Closure follows the dedup family's convention: union-find over the
-    edge set below ``docs._DRIVER_EDGE_THRESHOLD`` (edges-space driver
-    state), bucketed label propagation above it (tested equal on
-    random graphs in tests/test_properties.py); the size histogram on
-    the scale path folds per-label partition partials, never a
-    node-space driver table."""
+    Closure tiers like the dedup family, with the mid tier explicit:
+    union-find over the edge set below ``docs._DRIVER_EDGE_THRESHOLD``
+    (edges-space driver state); BROADCAST label propagation while the
+    node table fits a worker (``_BCAST_NODE_LIMIT`` — one shuffle per
+    round); bucketed label propagation only beyond that (two
+    all-to-alls per round at ~90 s fixed cost each on this box —
+    measured as the dominant term when the mid tier was skipped, which
+    is why the tier exists).  All three tiers are output-identical
+    (union-find vs broadcast LP on random graphs in
+    tests/test_properties.py; bucketed vs driver verified off-suite);
+    the size histogram on the distributed tiers folds per-label
+    partition partials, never a node-space driver table."""
     from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
     from kawa_ray.stages.clustering import union_find_components
 
@@ -566,6 +578,7 @@ def multirule_cluster_census(sf_dir: str, num_perm: int = 64,
             hist[int(sz)] = int(n)
     else:
         from kawa_ray.stages.clustering import (
+            label_propagation_components,
             label_propagation_components_bucketed,
         )
 
@@ -573,7 +586,13 @@ def multirule_cluster_census(sf_dir: str, num_perm: int = 64,
             lambda df: pd.DataFrame({"a": df["a"].astype(str),
                                      "b": df["b"].astype(str)}),
             batch_format="pandas")
-        labels = label_propagation_components_bucketed(edges_s)
+        # node space <= 2 * edges; broadcast LP while that fits a worker
+        if 2 * n_edges <= _BCAST_NODE_LIMIT:
+            labels = label_propagation_components(edges_s).map_batches(
+                lambda df: df.rename(columns={"label": "lbl"}),
+                batch_format="pandas")
+        else:
+            labels = label_propagation_components_bucketed(edges_s)
 
         def size_part(g: pd.DataFrame) -> pd.DataFrame:
             sizes = g.groupby("lbl").size()  # whole label co-locates
