@@ -73,6 +73,110 @@ def test_snm_matches_brute_force(ray_session, tmp_path, n, seed, window):
     pd.testing.assert_frame_equal(got, want)
 
 
+def _band_blocks(df: pd.DataFrame, num_perm=64, bands=16) -> dict:
+    """In-process MinHash banding (same kernels, no Ray) -> block key
+    -> member doc_ids."""
+    import re
+
+    from kawa_ray.functions.minhash import (
+        lsh_band_keys, md5_low64, minhash_signature, word_ngrams,
+    )
+
+    ws = re.compile(r"\s+")
+    blocks: dict = {}
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = ws.split(text.lower().strip()) if text.strip() else []
+        sh = word_ngrams(toks, 3)
+        if not sh:
+            continue
+        s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
+        for b in lsh_band_keys(s, bands):
+            blocks.setdefault(b, set()).add(int(doc_id))
+    return blocks
+
+
+def _docs_with_dups(tmp_path, seed: int) -> pd.DataFrame:
+    """Docs with engineered near-dups so band blocks are non-trivial."""
+    rng = np.random.RandomState(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    base = [" ".join(rng.choice(vocab, size=12)) for _ in range(12)]
+    texts = []
+    for i in range(40):
+        t = base[i % len(base)]
+        if i % 3 == 0:  # exact reuse; else a one-token twist
+            texts.append(t)
+        else:
+            w = t.split()
+            w[i % len(w)] = vocab[i % len(vocab)]
+            texts.append(" ".join(w))
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype="int64"),
+        "text": texts,
+        "lang": rng.choice(["en", "fr"], size=40),
+        "source": ["web"] * 40,
+        "n_chars": rng.randint(0, 40, size=40).astype("int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return df
+
+
+def test_metablocking_matches_brute_force(ray_session, tmp_path):
+    from kawa_ray.pipelines.blocking_ops import metablocking_census
+
+    df = _docs_with_dups(tmp_path, 21)
+    got = metablocking_census(str(tmp_path))
+
+    weights: dict = {}
+    for mem in _band_blocks(df).values():
+        mem = sorted(mem)
+        if len(mem) < 2 or len(mem) > 64:
+            continue
+        for x in range(len(mem) - 1):
+            for y in range(x + 1, len(mem)):
+                weights[(mem[x], mem[y])] = weights.get((mem[x], mem[y]), 0) + 1
+    hist: dict = {}
+    for w in weights.values():
+        hist[w] = hist.get(w, 0) + 1
+    want = pd.DataFrame(sorted(hist.items()), columns=["weight", "n_pairs"])
+    want["weight"] = want["weight"].astype("int64")
+    want["n_pairs"] = want["n_pairs"].astype("int64")
+    assert len(want) > 1  # non-degenerate: several weight levels
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_multirule_cluster_matches_brute_force(ray_session, tmp_path):
+    from kawa_ray.pipelines.blocking_ops import (
+        _MR_SIZE_BUCKET, multirule_cluster_census,
+    )
+    from kawa_ray.stages.clustering import union_find_components
+
+    df = _docs_with_dups(tmp_path, 22)
+    got = multirule_cluster_census(str(tmp_path))
+
+    pairs: set = set()
+    for mem in _band_blocks(df).values():
+        mem = sorted(mem)
+        if 2 <= len(mem) <= 64:
+            pairs.update((a, b) for i, a in enumerate(mem) for b in mem[i + 1:])
+    for key in (df["lang"] + "|" + df["text"].str.slice(0, 16),
+                df["lang"] + "|" + (df["n_chars"] // _MR_SIZE_BUCKET).astype(str)):
+        for _, grp in df.groupby(key):
+            mem = sorted(int(d) for d in grp["doc_id"])
+            if 2 <= len(mem) <= 64:
+                pairs.update((a, b) for i, a in enumerate(mem)
+                             for b in mem[i + 1:])
+    groups = union_find_components((str(a), str(b)) for a, b in pairs)
+    sizes = pd.Series(list(groups.values())).value_counts()
+    hist: dict = dict(sizes.value_counts().astype(int))
+    hist[1] = hist.get(1, 0) + len(df) - len(groups)
+    want = pd.DataFrame(sorted(hist.items()), columns=["size", "n_clusters"])
+    want["size"] = want["size"].astype("int64")
+    want["n_clusters"] = want["n_clusters"].astype("int64")
+    assert (want["size"] > 1).any()  # real clusters formed
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_multirule_size_rule_brute_force(ray_session, tmp_path):
     """The size rule (and the union accounting) against brute force on
     a corpus with no text at all — band and prefix rules then collapse
