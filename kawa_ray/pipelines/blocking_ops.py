@@ -408,6 +408,9 @@ def multirule_blocking_census(sf_dir: str, num_perm: int = 64,
     for batch in folded.iter_batches(batch_format="pandas"):
         for rule, n in zip(batch["rule"], batch["n_pairs"]):
             acc[str(rule)] = acc.get(str(rule), 0) + int(n)
+    # the oracle's UNION ALL arm emits ('union', 0) even when no rule
+    # proposed a single pair; match it on the degenerate boundary
+    acc.setdefault("union", 0)
     out = pd.DataFrame(sorted(acc.items()), columns=["rule", "n_pairs"])
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.reset_index(drop=True)
@@ -526,11 +529,13 @@ ORDER BY rule
 
 MULTIRULE_BLOCKING_SQL = _multirule_sql()
 
-# broadcast-LP ceiling: the label table is ~50 bytes/node downloaded
-# per round into each map task, so 50M nodes ~ 2.5 GB — the upper edge
-# of a comfortable worker heap; beyond that the bucketed variant's
-# extra all-to-all is the price of never holding the node space
-_BCAST_NODE_LIMIT = 50_000_000
+# broadcast-LP ceiling: each round materializes the label table as a
+# Python dict[str, str] on the driver AND deserializes a full copy
+# into every relabel task — ~150 bytes/entry realistically (two str
+# objects + dict slot), so 5M nodes ~ 750 MB per process.  Beyond
+# that the bucketed variant's extra all-to-all per round is the price
+# of never holding the node space in any one heap.
+_BCAST_NODE_LIMIT = 5_000_000
 
 
 def multirule_cluster_census(sf_dir: str, num_perm: int = 64,

@@ -146,10 +146,14 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
         _ndf = new_labels.to_pandas()
         new_lab = dict(zip(_ndf["node"], _ndf["label"]))
         if new_lab == lab:
-            labels = new_labels
-            break
+            return new_labels
         labels = new_labels
-    return labels
+    # exhausting max_rounds means the labels are PARTIALLY propagated —
+    # a silently-wrong component table (one real cluster counted as
+    # several).  Rounds = O(component diameter), so raise loudly.
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds; "
+        f"the graph's component diameter exceeds max_rounds — raise it")
 
 
 def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
@@ -267,5 +271,8 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
         ).sum("c")
         labels = new_labels.select_columns(["node", "lbl"])
         if not n_changed:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"bucketed label propagation did not converge in {max_rounds} "
+        f"rounds; the graph's component diameter exceeds max_rounds — "
+        f"raise it")

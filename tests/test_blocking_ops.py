@@ -177,6 +177,51 @@ def test_multirule_cluster_matches_brute_force(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_multirule_zero_pairs_boundary(ray_session, tmp_path):
+    """A corpus where every block is a singleton: the op must still
+    emit the ('union', 0) row the oracle's UNION ALL arm always
+    produces, and the cluster census must report every doc a
+    singleton."""
+    import duckdb
+
+    from kawa_ray.pipelines.blocking_ops import (
+        MULTIRULE_BLOCKING_SQL,
+        MULTIRULE_CLUSTER_SQL,
+        multirule_blocking_census,
+        multirule_cluster_census,
+    )
+
+    n = 5
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        # one unique token per doc: its only 3-gram is itself, so every
+        # band bucket is a singleton; prefixes unique too
+        "text": [f"uniqueword{i}" for i in range(n)],
+        "lang": ["en"] * n,
+        "source": ["web"] * n,
+        "n_chars": (np.arange(n, dtype="int64") + 1) * 64,  # distinct buckets
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = multirule_blocking_census(str(tmp_path))
+    assert got.to_dict("records") == [{"rule": "union", "n_pairs": 0}]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(MULTIRULE_BLOCKING_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_pairs": "int64"}),
+        exp.astype({"n_pairs": "int64"}))
+
+    clusters = multirule_cluster_census(str(tmp_path))
+    assert clusters.to_dict("records") == [{"size": 1, "n_clusters": n}]
+    exp_c = con.execute(MULTIRULE_CLUSTER_SQL).df()
+    pd.testing.assert_frame_equal(
+        clusters.astype({"size": "int64", "n_clusters": "int64"}),
+        exp_c.astype({"size": "int64", "n_clusters": "int64"}))
+
+
 def test_multirule_size_rule_brute_force(ray_session, tmp_path):
     """The size rule (and the union accounting) against brute force on
     a corpus with no text at all — band and prefix rules then collapse
@@ -209,7 +254,7 @@ def test_multirule_size_rule_brute_force(ray_session, tmp_path):
     exp_prefix = pairs(lambda d: d["lang"])
     exp_size = pairs(lambda d: d["lang"] + "|"
                      + (d["n_chars"] // _MR_SIZE_BUCKET).astype(str))
-    assert got.get("band", 0) == 0 or "band" not in got
+    assert "band" not in got  # count_part never emits zero-count rules
     assert got["prefix"] == exp_prefix
     assert got["size"] == exp_size
     # size blocks are sub-blocks of prefix blocks here, so the union
