@@ -58,7 +58,12 @@ QUERIES = {
     "q1_pricing_summary": relational.q1_pricing_summary,
     "q3_top_orders": relational.q3_top_orders,
     "top_parts_by_price": relational.top_parts_by_price,
-    "region_revenue": relational.region_revenue,
+    # session-5 swap: the blocking->closure cluster census takes the
+    # region_revenue slot (B9's dict-join stays window-covered by
+    # q3_top_orders; region_revenue is pytest-oracled in EXTRA) — the
+    # new classic-ER blocking family gets a driver-visible row, and
+    # no other window row composes blocking into entity clusters
+    "multirule_cluster_census": blocking_ops.multirule_cluster_census,
     "user_sessions": relational.user_sessions,
     # round-4 session-4 swap: the trained quality classifier takes the
     # events_dedup_first slot (the hash-partition keep-first family
@@ -122,7 +127,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": relational.Q1_SQL,
     "q3_top_orders": relational.Q3_SQL,
     "top_parts_by_price": relational.TOP_PARTS_SQL,
-    "region_revenue": relational.REGION_REVENUE_SQL,
+    "multirule_cluster_census": blocking_ops.MULTIRULE_CLUSTER_SQL,
     "user_sessions": relational.USER_SESSIONS_SQL,
     "quality_classifier_census": quality_classifier.QUALITY_CLASSIFIER_SQL,
     "event_value_quantiles": relational.EVENT_VALUE_QUANTILES_SQL,
@@ -251,7 +256,9 @@ EXTRA_QUERIES = {
     "snm_blocking_census": blocking_ops.snm_blocking_census,
     "metablocking_census": blocking_ops.metablocking_census,
     "multirule_blocking_census": blocking_ops.multirule_blocking_census,
-    "multirule_cluster_census": blocking_ops.multirule_cluster_census,
+    # demoted by the session-5 swap (cluster census promoted; B9's
+    # dict-join family stays window-covered by q3_top_orders)
+    "region_revenue": relational.region_revenue,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -307,7 +314,7 @@ EXTRA_ORACLE_SQL = {
     "snm_blocking_census": blocking_ops.SNM_BLOCKING_SQL,
     "metablocking_census": blocking_ops.METABLOCKING_SQL,
     "multirule_blocking_census": blocking_ops.MULTIRULE_BLOCKING_SQL,
-    "multirule_cluster_census": blocking_ops.MULTIRULE_CLUSTER_SQL,
+    "region_revenue": relational.REGION_REVENUE_SQL,
     "pmi_collocations": lm_quality.PMI_COLLOCATIONS_SQL,
     "top_events_per_user": relational.TOP_EVENTS_PER_USER_SQL,
     "events_window_counts": relational.EVENTS_WINDOW_SQL,
