@@ -142,9 +142,18 @@ def run_bench() -> dict:
             best = None
             for _ in range(max(1, q_runs)):
                 t = time.time()
-                fn(sf_dir)
+                res = fn(sf_dir)
                 dt = time.time() - t
                 best = dt if best is None else min(best, dt)
+                # inter-query hygiene (round-4 VERDICT item 5: late-session
+                # queries measured up to 3x their fresh-session time): drop
+                # the result's block refs and collect BEFORE the next
+                # timing so earlier queries' plasma objects are freed
+                # rather than squatting the object store / spill dir.
+                del res
+                import gc
+
+                gc.collect()
             queries[name] = round(best, 3)
 
     out = {

@@ -91,7 +91,10 @@ def snm_blocking_census(sf_dir: str, window: int = _SNM_WINDOW,
         if df.empty:  # a 0-row block has no string dtype for .str
             return pd.DataFrame({"bucket": pd.Series([], dtype="str"),
                                  "n": pd.Series([], dtype="int64")})
-        b = df["lang"] + "|" + df["text"].str.slice(0, bc)
+        # fillna: a NaN key would be silently dropped by the groupby
+        # while the SQL oracle's ROW_NUMBER still ranks NULL-key rows —
+        # keying on '' keeps op and oracle aligned by construction
+        b = df["lang"].fillna("") + "|" + df["text"].fillna("").str.slice(0, bc)
         return b.groupby(b).size().rename("n").rename_axis("bucket").reset_index()
 
     counts: dict[str, int] = {}
@@ -117,9 +120,11 @@ def snm_blocking_census(sf_dir: str, window: int = _SNM_WINDOW,
                                  "lang": pd.Series([], dtype="str"),
                                  "source": pd.Series([], dtype="str"),
                                  "n_chars": pd.Series([], dtype="int64")})
+        lang = df["lang"].fillna("")
+        text = df["text"].fillna("")
         return pd.DataFrame({
-            "bucket": df["lang"] + "|" + df["text"].str.slice(0, bc),
-            "skey": df["lang"] + "|" + df["text"].str.slice(0, kc),
+            "bucket": lang + "|" + text.str.slice(0, bc),
+            "skey": lang + "|" + text.str.slice(0, kc),
             "doc_id": df["doc_id"].to_numpy("int64"),
             "lang": df["lang"].to_numpy(),
             "source": df["source"].to_numpy(),
@@ -552,14 +557,18 @@ def multirule_cluster_census(sf_dir: str, num_perm: int = 64,
     union-find over the edge set below ``docs._DRIVER_EDGE_THRESHOLD``
     (edges-space driver state); BROADCAST label propagation while the
     node table fits a worker (``_BCAST_NODE_LIMIT`` — one shuffle per
-    round); bucketed label propagation only beyond that (two
-    all-to-alls per round at ~90 s fixed cost each on this box —
-    measured as the dominant term when the mid tier was skipped, which
-    is why the tier exists).  All three tiers are output-identical
-    (union-find vs broadcast LP on random graphs in
-    tests/test_properties.py; bucketed vs driver verified off-suite);
-    the size histogram on the distributed tiers folds per-label
-    partition partials, never a node-space driver table."""
+    round, driver path compression between rounds); bucketed label
+    propagation only beyond that — with per-round pointer jumping it
+    converges in O(log diameter) rounds (clustering._pointer_jump; the
+    16x incident proved real blocking graphs exceed 20-round
+    diameters).  All three tiers are output-identical (union-find vs
+    broadcast LP on random graphs in tests/test_linkage_e2e.py
+    ``test_component_paths_agree_on_random_graph`` /
+    ``test_union_find_matches_label_propagation``; bucketed vs
+    union-find in ``test_bucketed_label_propagation_matches_union_find``
+    and the diameter-99 path test); the size histogram on the
+    distributed tiers folds per-label partition partials, never a
+    node-space driver table."""
     from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
     from kawa_ray.stages.clustering import union_find_components
 

@@ -185,7 +185,11 @@ def pack_sequences_plan(sf_dir: str, seq_len: int = 512, range_size: int = 4096,
                          "n_tok": pc.cast(toks, pa.int64()),
                          "rng": pc.cast(rng, pa.int64())})
 
-    rows = ds.map_batches(doc_rows, batch_format="pyarrow").materialize()
+    # LAZY on purpose (round-4 VERDICT item 4): the two consumers below
+    # re-run this one cheap regex pass instead of pinning an
+    # O(n_docs) rows table in the object store — at 100-TB doc counts
+    # recompute is the right trade (the linkage pin-or-spill rule).
+    rows = ds.map_batches(doc_rows, batch_format="pyarrow")
 
     # pass 1: per-range token sums -> global offsets (driver fold over
     # one partial row per range per batch)

@@ -203,24 +203,51 @@ def _emb_planes(dim: int) -> np.ndarray:
     return C
 
 
+def _triple_parts(label: np.ndarray, band: np.ndarray, key: np.ndarray,
+                  P: int) -> np.ndarray:
+    """md5 part per DISTINCT (label, band, key) triple, fanned back to
+    rows (round-3 VERDICT item 5's one-hash-per-distinct-triple rule)."""
+    from kawa_ray.functions.minhash import hash64
+
+    trip = label * (_EMB_BANDS * 8) + band * 8 + key
+    uniq, inv = np.unique(trip, return_inverse=True)
+    u_lbl = uniq // (_EMB_BANDS * 8)
+    u_band = (uniq % (_EMB_BANDS * 8)) // 8
+    u_key = uniq % 8
+    u_part = np.fromiter(
+        (hash64(f"{l}:{b}:{k}") % P
+         for l, b, k in zip(u_lbl.tolist(), u_band.tolist(), u_key.tolist())),
+        dtype=np.int64, count=len(uniq))
+    return u_part[inv]
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
     """Embedding-cosine near-duplicate pairs: label + integer-LSH band
     blocking, exact-cosine verify per hash-partitioned band segment,
     cross-band dedup.  No stage holds a whole label; a hot label fans
     out across (band, key) segments, each capped at
     ``_EMB_MAX_MEMBERS`` members (oversized segments are skipped
-    deterministically — same contract as the text dedup trio)."""
-    from kawa_ray.functions.minhash import hash64
+    deterministically — same contract as the text dedup trio).
 
+    Vector bytes do NOT ride the band exchange (round-4 VERDICT item 2:
+    the old shape tiled each vector x8 bands through the first
+    all-to-all — 8x the matrix at real 768-dim widths).  Three
+    exchanges instead: (1) id-only band rows -> per-segment dedup +
+    size gate emits SURVIVING members; (2) vectors hash-partition-join
+    onto survivors by vec_id (bytes move only for members of 2..cap
+    segments — oversized segments, the bulk of a hot corpus, ship
+    nothing); (3) members regroup by segment for the exact-cosine
+    verify."""
     ds = _read_emb(sf_dir)
     P = _EMB_PARTITIONS
 
     planes_cache: dict[int, np.ndarray] = {}
 
-    def band_rows(t: pa.Table) -> pa.Table:
+    def _quant_keys(t: pa.Table):
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
         dim = M.shape[1]
         C = planes_cache.get(dim)
         if C is None:
@@ -228,39 +255,73 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
         q = np.floor(M * _EMB_QUANT).astype(np.int64)
         bits = (q @ C.T) > 0  # (n, bands*planes) — integer dots, exact
         pows = (1 << np.arange(_EMB_PLANES_PER_BAND)).astype(np.int64)
+        keys_nb = bits.reshape(len(ids), _EMB_BANDS, _EMB_PLANES_PER_BAND) @ pows
+        return ids, labels, M, keys_nb
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        # id-only 8x expansion: ~32 B/row through the wide exchange
+        ids, labels, _M, keys_nb = _quant_keys(t)
         n = len(ids)
-        # fully vectorised 8x row expansion (round-3 VERDICT item 5: the
-        # per-row Python append loop built 8xN lists per batch): numpy
-        # tile/repeat for the integer columns, one md5 part-hash per
-        # DISTINCT (label, band, key) triple instead of per row
-        keys_nb = bits.reshape(n, _EMB_BANDS, _EMB_PLANES_PER_BAND) @ pows
         band_out = np.repeat(np.arange(_EMB_BANDS, dtype=np.int64), n)
         label_out = np.tile(labels, _EMB_BANDS)
         key_out = keys_nb.T.reshape(-1)  # band-major, aligned with tiles
-        trip = label_out * (_EMB_BANDS * 8) + band_out * 8 + key_out
-        uniq, inv = np.unique(trip, return_inverse=True)
-        u_lbl = uniq // (_EMB_BANDS * 8)
-        u_band = (uniq % (_EMB_BANDS * 8)) // 8
-        u_key = uniq % 8
-        u_part = np.fromiter(
-            (hash64(f"{l}:{b}:{k}") % P
-             for l, b, k in zip(u_lbl.tolist(), u_band.tolist(), u_key.tolist())),
-            dtype=np.int64, count=len(uniq))
-        vb = np.array([m.tobytes() for m in M], dtype=object)
         return pa.table({
-            "part": pa.array(u_part[inv]),
+            "part": pa.array(_triple_parts(label_out, band_out, key_out, P)),
             "label": pa.array(label_out),
             "band": pa.array(band_out),
             "key": pa.array(key_out),
             "vec_id": pa.array(np.tile(ids, _EMB_BANDS)),
-            "vec": pa.array(np.tile(vb, _EMB_BANDS), pa.binary()),
+        })
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        # per-segment dedup + size gate; re-route survivors by vec_id
+        g = g.drop_duplicates(["label", "band", "key", "vec_id"])
+        sz = g.groupby(["label", "band", "key"])["vec_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= _EMB_MAX_MEMBERS)]
+        return pd.DataFrame({
+            "part": g["vec_id"].to_numpy("int64") % P,
+            "label": g["label"].to_numpy("int64"),
+            "band": g["band"].to_numpy("int64"),
+            "key": g["key"].to_numpy("int64"),
+            "vec_id": g["vec_id"].to_numpy("int64"),
+            "vec": pd.Series([None] * len(g), dtype=object),
+        })
+
+    def vec_rows(t: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        return pd.DataFrame({
+            "part": ids % P,
+            "label": np.full(len(ids), -1, dtype=np.int64),
+            "band": np.full(len(ids), -1, dtype=np.int64),
+            "key": np.full(len(ids), -1, dtype=np.int64),
+            "vec_id": ids,
+            "vec": pd.Series([m.tobytes() for m in M], dtype=object),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[g["band"] < 0]
+        vmap = pd.Series(src["vec"].to_numpy(), index=src["vec_id"].to_numpy())
+        m = g[g["band"] >= 0]
+        vec = m["vec_id"].map(vmap)
+        if vec.isna().any():
+            raise RuntimeError("surviving member without a co-located vector")
+        lbl = m["label"].to_numpy("int64")
+        band = m["band"].to_numpy("int64")
+        key = m["key"].to_numpy("int64")
+        return pd.DataFrame({
+            "part": _triple_parts(lbl, band, key, P),
+            "label": lbl, "band": band, "key": key,
+            "vec_id": m["vec_id"].to_numpy("int64"),
+            "vec": vec.to_numpy(),
         })
 
     def explode(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_l, out_c = [], [], [], []
         for (label, _band, _key), seg in g.groupby(["label", "band", "key"],
                                                    sort=False):
-            seg = seg.drop_duplicates("vec_id").sort_values("vec_id")
+            seg = seg.sort_values("vec_id")  # deduped + capped upstream
             n = len(seg)
             if n < 2 or n > _EMB_MAX_MEMBERS:
                 continue
@@ -279,8 +340,17 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
                              "label": pd.Series(out_l, dtype="int32"),
                              "cosine": pd.Series(out_c, dtype="float64")})
 
-    out = (
+    members = (
         ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: survivors(g.drop(columns="part")),
+                    batch_format="pandas")
+    )
+    out = (
+        members.union(ds.map_batches(vec_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(lambda g: attach(g.drop(columns="part")),
+                    batch_format="pandas")
         .groupby("part")
         .map_groups(explode, batch_format="pandas")
         .to_pandas()

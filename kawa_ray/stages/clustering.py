@@ -141,22 +141,24 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
         # node-space sized; at true scale this becomes a bucketed join)
         lab_ref = ray.put(lab)
 
-        def relabel(batch: pa.Table, _ref=lab_ref) -> pa.Table:
+        def relabel(df: pd.DataFrame, _ref=lab_ref) -> pd.DataFrame:
+            # vectorised (round-4 VERDICT item 2: the to_pylist + per-edge
+            # Python min() pair was the per-round hot loop): two C-loop
+            # dict lookups via Series.map + one object-ufunc minimum.
             l = ray.get(_ref)
-            node = batch.column("node").to_pylist()
-            nbr = batch.column("nbr").to_pylist()
-            return pa.table(
-                {
-                    "node": pa.array(node, pa.string()),
-                    "cand": pa.array([min(l[n], l[m]) for n, m in zip(node, nbr)], pa.string()),
-                    "part": pa.array(route_parts(pd.Series(node, dtype=object), P),
-                                     pa.int64()),
-                }
-            )
+            import numpy as np
+
+            cand = np.minimum(df["node"].map(l).to_numpy(dtype=object),
+                              df["nbr"].map(l).to_numpy(dtype=object))
+            return pd.DataFrame({
+                "node": df["node"],
+                "cand": cand,
+                "part": route_parts(df["node"], P),
+            })
 
         new_labels = (
             edges.map_batches(explode, batch_format="pyarrow")
-            .map_batches(relabel, batch_format="pyarrow")
+            .map_batches(relabel, batch_format="pandas")
             .groupby("part")
             .map_groups(
                 lambda g: (g.groupby("node", sort=False)["cand"].min()
@@ -181,15 +183,116 @@ def label_propagation_components(edges_ds, max_rounds: int = 20):
         f"the graph's component diameter exceeds max_rounds — raise it")
 
 
-def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
-                                          partitions: int = 64):
-    """Broadcast-free distributed connected components (hash-to-min).
+def _pointer_jump(labels, P: int, S: int):
+    """One pointer-jumping step on a (node, lbl) label table:
+    ``lbl[x] <- lbl[lbl[x]]`` — composes the label function with itself,
+    so chains halve and, interleaved with one hash-to-min propagation
+    per round, closure converges in O(log diameter) rounds instead of
+    O(diameter) (round-4 VERDICT item 1: a 16x blocking graph already
+    exceeded 20-round diameters; the Kiveris et al. 2014 star-contraction
+    family makes the same shuffle-count trade).  Two exchanges:
 
-    Each round is TWO hash-partition shuffles — no driver-held or
-    broadcast label table, so it holds at graphs whose node space
-    exceeds worker memory (the scale path for S6; the broadcast variant
-    above is the mid-size path, driver union-find the small path — all
-    three proven equivalent in tests, incl. a seeded random graph):
+      1. resolve: answer rows (key=node, val=lbl) union per-batch-DEDUPED
+         query rows (key=lbl) co-route by hash(key) — every label value
+         is itself a node id, so the answer is always co-located.  Query
+         dedup bounds hot-label fan-in to one row per upstream batch.
+         Emits only REAL shortcuts (jlbl != lbl), so converged components
+         contribute zero jmap rows.
+      2. rewrite: label rows co-locate with their shortcut via a SALTED
+         label hash — part = hash(lbl) % (P/S) * S + hash(node) % S —
+         and jmap rows replicate xS.  The salt bounds the hot-label
+         funnel (a converged giant component's label rows) to 1/S of the
+         component per partition at the price of S small (lbl, jlbl)
+         rows per shortcut; partitioning assumption: a component's label
+         rows / S must fit a worker's batch, which callers size via
+         ``partitions``/``jump_salt`` (the documented trade — no exact
+         distributed closure avoids co-locating a component's rows
+         somewhere).
+    """
+    import numpy as np
+
+    from kawa_ray.stages.distinct import route_parts
+
+    B = P // S
+
+    def qa_rows(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["lbl"].drop_duplicates()
+        keys = pd.concat([df["node"], q], ignore_index=True)
+        return pd.DataFrame({
+            "key": keys,
+            "val": pd.concat([df["lbl"],
+                              pd.Series([None] * len(q), dtype=object)],
+                             ignore_index=True),
+            "part": route_parts(keys, P),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ans = g[g["val"].notna()]
+        amap = pd.Series(ans["val"].to_numpy(), index=ans["key"].to_numpy())
+        qk = g.loc[g["val"].isna(), "key"].drop_duplicates()
+        j = amap.reindex(qk.to_numpy())
+        if j.isna().any():
+            raise RuntimeError("pointer jump queried a label with no "
+                               "co-located answer row; labels must be node ids")
+        out = pd.DataFrame({"lbl": qk.to_numpy(), "jlbl": j.to_numpy()})
+        return out[out["lbl"] != out["jlbl"]]
+
+    jmap = (
+        labels.map_batches(qa_rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: resolve(g.drop(columns="part")),
+                    batch_format="pandas")
+    )
+
+    def lab_route(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"], "lbl": df["lbl"],
+            "jlbl": [None] * len(df),
+            "part": route_parts(df["lbl"], B) * S + route_parts(df["node"], S),
+        })
+
+    def jmap_route(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        base = route_parts(df["lbl"], B)
+        return pd.DataFrame({
+            "node": pd.Series([None] * (n * S), dtype=object),
+            "lbl": np.repeat(df["lbl"].to_numpy(dtype=object), S),
+            "jlbl": np.repeat(df["jlbl"].to_numpy(dtype=object), S),
+            "part": np.repeat(base * S, S) + np.tile(np.arange(S), n),
+        })
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        jm = g[g["node"].isna()]
+        lab = g[g["node"].notna()]
+        m = pd.Series(jm["jlbl"].to_numpy(), index=jm["lbl"].to_numpy())
+        new = lab["lbl"].map(m)
+        return pd.DataFrame({"node": lab["node"],
+                             "lbl": new.fillna(lab["lbl"])})
+
+    return (
+        labels.map_batches(lab_route, batch_format="pandas")
+        .union(jmap.map_batches(jmap_route, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(lambda g: rewrite(g.drop(columns="part")),
+                    batch_format="pandas")
+    )
+
+
+def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
+                                          partitions: int = 64,
+                                          jump_salt: int = 8):
+    """Broadcast-free distributed connected components: hash-to-min
+    propagation + one pointer-jumping step per round -> O(log diameter)
+    rounds (round-4 VERDICT item 1; raw hash-to-min is O(diameter) and
+    real blocking graphs exceeded the 20-round budget at just 16x).
+
+    Each round is two hash-partition propagation shuffles plus the two
+    ``_pointer_jump`` exchanges — no driver-held or broadcast label
+    table, so it holds at graphs whose node space exceeds worker memory
+    (the scale path for S6; the broadcast variant above is the mid-size
+    path, driver union-find the small path — all three proven
+    equivalent in tests, incl. a seeded random graph and a path graph
+    of diameter >> max_rounds that only converges via the jump):
 
       1. partition label rows (node, lbl) and edge rows (node, nbr) by
          hash(node) — co-located, so an in-batch pandas groupby tags
@@ -202,12 +305,21 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
          sentinel on neighbour rows; "" sorts before every string, so
          max() recovers exactly the one self row's label), making the
          convergence check a remote per-batch partial count + scalar
-         sum instead of a third label-table shuffle.
+         sum instead of a third label-table shuffle;
+      3. pointer jump ``lbl <- lbl[lbl]`` (see ``_pointer_jump``).
+
+    Convergence is checked on the PROPAGATION step: labels decrease
+    monotonically (lbl[x] <= x is invariant under both min-merge and
+    jump), and a propagation fixpoint is exactly "every component
+    carries its min label", at which point the jump is the identity.
     """
     import pandas as pd
     import pyarrow as pa
 
     from kawa_ray.stages.distinct import partition_distinct
+
+    if partitions % jump_salt:
+        raise ValueError("partitions must be a multiple of jump_salt")
 
     P = partitions
     edges = edges_ds.select_columns(["a", "b"]).materialize()
@@ -224,7 +336,13 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
             }
         )
 
-    adj = edges.map_batches(explode, batch_format="pyarrow").materialize()
+    # coalesce to ~P blocks (shuffle=False = local merge, no exchange):
+    # without this, every union/groupby round INHERITS its input block
+    # count and the per-round block census multiplies (~3x/round
+    # measured) until scheduling overhead dominates — the round-4
+    # "90 s fixed per round" was partly this.
+    adj = (edges.map_batches(explode, batch_format="pyarrow")
+           .repartition(P, shuffle=False).materialize())
     # initial labels: node -> node, via the shared partitioned distinct
     # (node-cardinality keys must never go through per-key aggregates)
     labels = partition_distinct(
@@ -232,7 +350,7 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
                         batch_format="pyarrow"),
         ["node"], key_col="node", partitions=P,
         then=lambda g: g[["node"]].assign(lbl=g["node"]),
-    ).materialize()
+    ).repartition(P, shuffle=False).materialize()
 
     from kawa_ray.stages.distinct import route_parts
 
@@ -286,6 +404,7 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
                 batch_format="pandas")
             .groupby("part")
             .map_groups(min_part, batch_format="pandas")
+            .repartition(P, shuffle=False)
             .materialize()
         )
         # convergence: remote per-batch partials, one scalar on the driver
@@ -297,7 +416,10 @@ def label_propagation_components_bucketed(edges_ds, max_rounds: int = 20,
         labels = new_labels.select_columns(["node", "lbl"])
         if not n_changed:
             return labels
+        labels = (_pointer_jump(labels, P, jump_salt)
+                  .repartition(P, shuffle=False).materialize())
     raise RuntimeError(
         f"bucketed label propagation did not converge in {max_rounds} "
-        f"rounds; the graph's component diameter exceeds max_rounds — "
-        f"raise it")
+        f"rounds; with per-round pointer jumping rounds are "
+        f"O(log component-diameter), so this graph is pathological — "
+        f"raise max_rounds")

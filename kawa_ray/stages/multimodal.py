@@ -113,18 +113,47 @@ class MediaFeatureExtractor:
             arr = np.pad(arr, (0, pad))
         return (arr.reshape(-1, N_FEATURES).mean(axis=0) / 255.0).tolist()
 
+    def _decode_real_image(self, payload: bytes):
+        """PIL decode for real image payloads (activates on any host with
+        Pillow installed; exercised in CI through a stub-PIL module,
+        tests/test_import_try_branches.py).  Features = an
+        ``N_FEATURES``-cell mean-luma strip — a coarse perceptual
+        fingerprint that is deterministic for a given decoder."""
+        import io
+
+        Image = self.real_codecs["image"]
+        img = Image.open(io.BytesIO(payload))
+        width, height = img.size
+        channels = len(img.getbands())
+        n_frames = int(getattr(img, "n_frames", 1))
+        strip = np.asarray(img.convert("L").resize((N_FEATURES, 1)),
+                           dtype=np.float32).reshape(-1)
+        feats = (strip[:N_FEATURES] / 255.0).tolist()
+        return int(width), int(height), int(channels), n_frames, feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in FEATURE_SCHEMA.names}
         for row in batch.to_pylist():
             payload = row["payload"]
             if not payload.startswith(MAGIC):
-                if self.real_codecs is None:
-                    raise NotImplementedError(
-                        "real media decode requires an image/audio library "
-                        "not present in this environment (stubbed: only the "
-                        "KMM1 fake format is decodable)"
-                    )
-                raise NotImplementedError("real codec path not wired yet")
+                if self.real_codecs is not None and row["media_type"] == "image":
+                    width, height, channels, n_frames, feats = \
+                        self._decode_real_image(payload)
+                    out["media_id"].append(row["media_id"])
+                    out["media_type"].append(row["media_type"])
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["channels"].append(channels)
+                    out["n_frames"].append(n_frames)
+                    out["n_bytes"].append(len(payload))
+                    out["features"].append(feats)
+                    continue
+                raise NotImplementedError(
+                    "real media decode for this payload requires an "
+                    "image/audio library not present in this environment "
+                    "(only the KMM1 fake format — and, with Pillow "
+                    "installed, real images — are decodable)"
+                )
             kind, width, height, channels, n_frames, body = _decode_fake(payload)
             if kind == KIND_VIDEO:
                 # frame sampling: keep every ``frame_stride``-th frame

@@ -117,6 +117,58 @@ def winnow_shuffle_stats(sf_dir: str) -> dict:
     }
 
 
+def emb_band_exchange_bytes(sf_dir: str) -> dict:
+    """Round-4 VERDICT item 2 evidence: the embedding band exchange now
+    ships id-only rows; vectors join onto SURVIVING segment members by a
+    vec_id hash partition.  Measure the materialized byte size of the
+    band-exchange stream as shipped (id-only) vs the old shape (vec
+    bytes tiled x8 onto the same rows) — the reduction is what the
+    all-to-all no longer moves."""
+    import ray.data as rd
+
+    from kawa_ray.pipelines.vectors import (
+        _EMB_BANDS, _EMB_PLANES_PER_BAND, _EMB_QUANT, _emb_planes,
+    )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planes: dict[int, np.ndarray] = {}
+
+    def rows(t: pa.Table, with_vec: bool) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        dim = M.shape[1]
+        C = planes.get(dim)
+        if C is None:
+            C = planes[dim] = _emb_planes(dim)
+        q = np.floor(M * _EMB_QUANT).astype(np.int64)
+        bits = (q @ C.T) > 0
+        pows = (1 << np.arange(_EMB_PLANES_PER_BAND)).astype(np.int64)
+        keys_nb = bits.reshape(len(ids), _EMB_BANDS, _EMB_PLANES_PER_BAND) @ pows
+        n = len(ids)
+        cols = {
+            "label": pa.array(np.tile(labels, _EMB_BANDS)),
+            "band": pa.array(np.repeat(np.arange(_EMB_BANDS, dtype=np.int64), n)),
+            "key": pa.array(keys_nb.T.reshape(-1)),
+            "vec_id": pa.array(np.tile(ids, _EMB_BANDS)),
+        }
+        if with_vec:
+            vb = np.array([m.tobytes() for m in M], dtype=object)
+            cols["vec"] = pa.array(np.tile(vb, _EMB_BANDS), pa.binary())
+        return pa.table(cols)
+
+    id_only = ds.map_batches(
+        lambda t: rows(t, False), batch_format="pyarrow").materialize()
+    with_vec = ds.map_batches(
+        lambda t: rows(t, True), batch_format="pyarrow").materialize()
+    a, b = id_only.size_bytes(), with_vec.size_bytes()
+    out = {"id_only_bytes": int(a), "old_shape_bytes": int(b),
+           "reduction": round(b / max(a, 1), 1)}
+    assert out["reduction"] >= 6.0, out  # the ~8x claim, with margin
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         DST, "rehearsal.json")
@@ -210,6 +262,7 @@ def main() -> None:
 
     res["winnow_shuffle_sf0.1"] = winnow_shuffle_stats(SRC)
     res["winnow_shuffle_x16"] = winnow_shuffle_stats(DST)
+    res["emb_band_exchange"] = emb_band_exchange_bytes(SRC)
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
