@@ -214,6 +214,9 @@ EXTRA_QUERIES = {
     # JSON column extraction + rolling-window aggregate
     "events_props_stats": relational.events_props_stats,
     "events_rolling_max": relational.events_rolling_max,
+    # as-of join (last-touch attribution): one user-hash exchange +
+    # in-partition ordered carry-forward — Ray Data has no native op
+    "events_asof_join": relational.events_asof_join,
     # near-dup representative selection (keep longest per cluster)
     "minhash_keep_best": docs.minhash_keep_best,
     # iterative graph algorithm: integer-discretised PageRank
@@ -326,6 +329,7 @@ EXTRA_ORACLE_SQL = {
     "events_pivot": relational.EVENTS_PIVOT_SQL,
     "events_props_stats": relational.EVENTS_PROPS_SQL,
     "events_rolling_max": relational.EVENTS_ROLLING_SQL,
+    "events_asof_join": relational.EVENTS_ASOF_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"

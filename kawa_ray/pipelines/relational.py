@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1217,4 +1218,84 @@ WITH e AS (
 )
 SELECT user_id, MAX(m) AS max_rolling_mean
 FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_asof_join(sf_dir: str, buckets: int = 8):
+    """As-of join over the event stream: each 'purchase' picks up the
+    user's most recent strictly-earlier 'click' (order = (ts, event_id))
+    — the classic "attribute a conversion to the last touch" join that
+    Ray Data has no native operator for.  Composition: ONE hash-partition
+    exchange on user_id co-locates each user's full stream, an in-batch
+    sort + per-user cumulative max of click timestamps implements the
+    as-of lookup vectorised (no pair expansion, no per-row loop), and
+    per-partition census partials fold on the driver.  Output: per
+    user-bucket (user_id % buckets) purchase counts, matched counts and
+    the summed click->purchase gap in microseconds.
+
+    Reference analogue: the builder's event-stream enrichment joins
+    (/root/reference/ontology/ontology_builder.py semi-join family);
+    scale note: only (user_id, ts, event_id, event_type) cross the
+    exchange — value/props are pruned at the read."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    _SENT = np.iinfo(np.int64).min
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("int64").to_numpy()
+        click_ts = np.where((g["event_type"] == "click").to_numpy(),
+                            ts_us, _SENT)
+        # cummax within user: strictly-earlier rows only can be clicks
+        # at a purchase row (its own click_ts is the sentinel)
+        last = (pd.DataFrame({"u": g["user_id"].to_numpy(), "c": click_ts})
+                .groupby("u", sort=False)["c"].cummax().to_numpy())
+        purch = (g["event_type"] == "purchase").to_numpy()
+        matched = purch & (last != _SENT)
+        bucket = g["user_id"].to_numpy("int64") % buckets
+        part = pd.DataFrame({
+            "bucket": bucket[purch],
+            "n": 1,
+            "m": matched[purch].astype("int64"),
+            "gap": np.where(matched, ts_us - last, 0)[purch],
+        })
+        return (part.groupby("bucket", as_index=False)
+                .agg(n_purchases=("n", "sum"), n_matched=("m", "sum"),
+                     sum_gap_us=("gap", "sum")))
+
+    acc: dict[int, list[int]] = {}
+    for b in partition_reduce(ds, "user_id", fold) \
+            .iter_batches(batch_format="pandas"):
+        for bk, n, m, gp in zip(b["bucket"], b["n_purchases"],
+                                b["n_matched"], b["sum_gap_us"]):
+            a = acc.setdefault(int(bk), [0, 0, 0])
+            a[0] += int(n); a[1] += int(m); a[2] += int(gp)
+    out = pd.DataFrame(
+        [(bk, a[0], a[1], a[2]) for bk, a in acc.items()],
+        columns=["bucket", "n_purchases", "n_matched", "sum_gap_us"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+EVENTS_ASOF_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click
+  FROM events
+)
+SELECT user_id % 8 AS bucket,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(CASE WHEN last_click IS NOT NULL
+                               THEN ts_us - last_click END), 0)
+            AS BIGINT) AS sum_gap_us
+FROM ordered
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
 """

@@ -189,6 +189,12 @@ _EMB_PLANES_PER_BAND = 3
 _EMB_QUANT = 1000
 _EMB_MAX_MEMBERS = 512
 _EMB_PARTITIONS = 64
+# at/above this many vectors the band exchange goes id-only and vectors
+# join onto surviving segment members (3 exchanges, ~1/8 the bytes);
+# below it the x8 byte tiling is cheaper than two extra all-to-alls
+# (~2 s fixed Ray cost each — measured 1.2 s vs 6.7 s at the sf0.1
+# fixture when the id-only shape ran unconditionally)
+_EMB_ID_ONLY_THRESHOLD = 200_000
 
 
 def _emb_planes(dim: int) -> np.ndarray:
@@ -229,17 +235,25 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
     ``_EMB_MAX_MEMBERS`` members (oversized segments are skipped
     deterministically — same contract as the text dedup trio).
 
-    Vector bytes do NOT ride the band exchange (round-4 VERDICT item 2:
-    the old shape tiled each vector x8 bands through the first
-    all-to-all — 8x the matrix at real 768-dim widths).  Three
-    exchanges instead: (1) id-only band rows -> per-segment dedup +
-    size gate emits SURVIVING members; (2) vectors hash-partition-join
-    onto survivors by vec_id (bytes move only for members of 2..cap
-    segments — oversized segments, the bulk of a hot corpus, ship
-    nothing); (3) members regroup by segment for the exact-cosine
-    verify."""
+    Two tiers, output-identical (tested):
+
+    * SMALL (< ``_EMB_ID_ONLY_THRESHOLD`` vectors): vector bytes ride
+      the band rows through ONE exchange — at fixture scale the x8 byte
+      tiling is pennies and every extra all-to-all costs ~2 s of fixed
+      Ray overhead;
+    * SCALE: vector bytes do NOT ride the band exchange (round-4
+      VERDICT item 2: tiling each vector x8 bands through the first
+      all-to-all is 8x the matrix at real 768-dim widths — measured
+      17x row-bytes in tools/rehearsal_x16.py).  Three exchanges:
+      (1) id-only band rows -> per-segment dedup + size gate emits
+      SURVIVING members; (2) vectors hash-partition-join onto
+      survivors by vec_id (bytes move only for members of 2..cap
+      segments — oversized segments, the bulk of a hot corpus, ship
+      nothing); (3) members regroup by segment for the exact-cosine
+      verify."""
     ds = _read_emb(sf_dir)
     P = _EMB_PARTITIONS
+    id_only = int(ds.count()) >= _EMB_ID_ONLY_THRESHOLD
 
     planes_cache: dict[int, np.ndarray] = {}
 
@@ -317,11 +331,29 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
             "vec": vec.to_numpy(),
         })
 
+    def band_rows_vec(t: pa.Table) -> pa.Table:
+        # SMALL tier: one exchange, vec bytes tiled onto the band rows
+        ids, labels, M, keys_nb = _quant_keys(t)
+        n = len(ids)
+        band_out = np.repeat(np.arange(_EMB_BANDS, dtype=np.int64), n)
+        label_out = np.tile(labels, _EMB_BANDS)
+        key_out = keys_nb.T.reshape(-1)
+        vb = np.array([m.tobytes() for m in M], dtype=object)
+        return pa.table({
+            "part": pa.array(_triple_parts(label_out, band_out, key_out, P)),
+            "label": pa.array(label_out),
+            "band": pa.array(band_out),
+            "key": pa.array(key_out),
+            "vec_id": pa.array(np.tile(ids, _EMB_BANDS)),
+            "vec": pa.array(np.tile(vb, _EMB_BANDS), pa.binary()),
+        })
+
     def explode(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_l, out_c = [], [], [], []
         for (label, _band, _key), seg in g.groupby(["label", "band", "key"],
                                                    sort=False):
-            seg = seg.sort_values("vec_id")  # deduped + capped upstream
+            # small tier dedups/caps here; scale tier already did upstream
+            seg = seg.drop_duplicates("vec_id").sort_values("vec_id")
             n = len(seg)
             if n < 2 or n > _EMB_MAX_MEMBERS:
                 continue
@@ -340,17 +372,23 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
                              "label": pd.Series(out_l, dtype="int32"),
                              "cosine": pd.Series(out_c, dtype="float64")})
 
-    members = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: survivors(g.drop(columns="part")),
-                    batch_format="pandas")
-    )
+    if id_only:
+        members = (
+            ds.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: survivors(g.drop(columns="part")),
+                        batch_format="pandas")
+        )
+        seg_rows = (
+            members.union(ds.map_batches(vec_rows, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(lambda g: attach(g.drop(columns="part")),
+                        batch_format="pandas")
+        )
+    else:
+        seg_rows = ds.map_batches(band_rows_vec, batch_format="pyarrow")
     out = (
-        members.union(ds.map_batches(vec_rows, batch_format="pyarrow"))
-        .groupby("part")
-        .map_groups(lambda g: attach(g.drop(columns="part")),
-                    batch_format="pandas")
+        seg_rows
         .groupby("part")
         .map_groups(explode, batch_format="pandas")
         .to_pandas()

@@ -178,3 +178,19 @@ def test_shard_topk_kernel_sorted_descending():
     for qi in range(3):
         assert (np.diff(scores[qi]) <= 1e-12).all()
         np.testing.assert_allclose(scores[qi], np.sort(full[qi])[::-1][:5])
+
+
+def test_embedding_neardup_tiers_identical(ray_session, monkeypatch):
+    """Round-4 VERDICT item 2: the id-only scale tier (band rows without
+    vector bytes; vectors join onto surviving segment members) must emit
+    exactly the small tier's pair set."""
+    import pandas as pd
+
+    import kawa_ray.pipelines.vectors as V
+
+    sf_dir = "/root/testdata/sf0.001"
+    small = V.embedding_neardup_pairs(sf_dir).reset_index(drop=True)
+    monkeypatch.setattr(V, "_EMB_ID_ONLY_THRESHOLD", 0)
+    scale = V.embedding_neardup_pairs(sf_dir).reset_index(drop=True)
+    assert len(small) > 0
+    pd.testing.assert_frame_equal(small, scale)

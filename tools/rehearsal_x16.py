@@ -169,9 +169,40 @@ def emb_band_exchange_bytes(sf_dir: str) -> dict:
     return out
 
 
+def forced_bucketed_cluster_census() -> dict:
+    """Round-4 VERDICT item 1 'done' evidence: the x16 blocking-graph
+    cluster census must complete CORRECTLY through the bucketed tier
+    (broadcast ceiling forced to 0) — the only tier available to
+    beyond-worker-memory node spaces — and match the default-tier
+    histogram.  The x16 graph's duplicate chains exceed 20-round
+    diameters (the session-5 incident), so this only passes with the
+    per-round pointer jump."""
+    import pandas as pd
+
+    import kawa_ray.pipelines.blocking_ops as bo
+
+    t0 = time.perf_counter()
+    default = bo.multirule_cluster_census(DST)
+    t_default = time.perf_counter() - t0
+    old = bo._BCAST_NODE_LIMIT
+    bo._BCAST_NODE_LIMIT = 0  # force the bucketed scale tier
+    try:
+        t0 = time.perf_counter()
+        forced = bo.multirule_cluster_census(DST)
+        t_forced = time.perf_counter() - t0
+    finally:
+        bo._BCAST_NODE_LIMIT = old
+    pd.testing.assert_frame_equal(
+        default.reset_index(drop=True), forced.reset_index(drop=True))
+    return {"x16_default_sec": round(t_default, 2),
+            "x16_bucketed_sec": round(t_forced, 2),
+            "histogram_rows": int(len(default)),
+            "tiers_identical": True}
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        DST, "rehearsal.json")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = args[0] if args else os.path.join(DST, "rehearsal.json")
     build_tables()
 
     import ray
@@ -183,6 +214,15 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if "--bucketed-only" in sys.argv:
+        # just the forced-bucketed closure evidence (it is the long pole)
+        res = {"forced_bucketed": forced_bucketed_cluster_census()}
+        print(json.dumps(res))
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+        ray.shutdown()
+        return
 
     from kawa_ray.pipelines.builder import user_pagerank
     from kawa_ray.pipelines.docs import (
