@@ -77,8 +77,10 @@ def run_bench() -> dict:
             lm_quality,
             media,
             pages_ops,
+            pairscore,
             quality_classifier,
             relational,
+            setsim,
             textqual,
             vectors,
         )
@@ -133,6 +135,14 @@ def run_bench() -> dict:
              blocking_ops.multirule_blocking_census),
             ("multirule_cluster_census",
              blocking_ops.multirule_cluster_census),
+            # round-5 additions: prefix-filter set-similarity join,
+            # survivorship, Levenshtein pair scoring, block cleaning
+            ("setsim_join_census", setsim.setsim_join_census),
+            ("cluster_survivorship_census",
+             blocking_ops.cluster_survivorship_census),
+            ("edit_distance_pairs_census",
+             pairscore.edit_distance_pairs_census),
+            ("block_cleaning_census", blocking_ops.block_cleaning_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with
             # residual box load (measured; the headline is best-of-3 for

@@ -659,3 +659,351 @@ ORDER BY size
 
 
 MULTIRULE_CLUSTER_SQL = _multirule_cluster_sql()
+
+
+# ---------------------------------------------------------------------------
+# golden-record survivorship (the merge step after clustering)
+# ---------------------------------------------------------------------------
+
+
+def cluster_survivorship_census(sf_dir: str, num_perm: int = 64,
+                                bands: int = 16,
+                                max_members: int = _MB_MAX_MEMBERS):
+    """Survivorship / golden-record construction — the step a real ER
+    pipeline runs AFTER transitive closure: each entity cluster elects
+    one canonical value PER ATTRIBUTE by majority vote (ties broken by
+    the smallest value, deterministic).  Clusters come from the same
+    multi-rule blocking union + closure as ``multirule_cluster_census``;
+    singleton documents are their own golden record.  Output: one row
+    per (canonical lang, canonical source) with its entity count — a
+    langs x sources summary, never an entity-space table.
+
+    Reference analogue: kawa's ontology merge keeps one canonical entry
+    per synonym cluster (ontology_builder.py incremental merging); this
+    is the record-level generalisation production linkage uses
+    (survivorship rules in MDM systems, Splink's cluster metrics).
+
+    Scale shape: pair dedupe + closure exactly as the cluster census
+    (driver union-find below the edge threshold, broadcast LP in the
+    mid regime, bucketed pointer-jump LP beyond); label rows union the
+    document attribute stream through ONE doc_id-hash exchange (the
+    `_verified_edges` attach idiom) so attributes and labels meet
+    without a driver-side node map; the canon vote runs per
+    label-partition.  The labeled-member stream materializes once —
+    node-space of the BLOCKING GRAPH (<= 2 x edges, the same order the
+    census already materializes), never corpus-space.  Singleton census
+    = full-corpus census partials minus labeled-doc partials, folded on
+    the driver (langs x sources sized)."""
+    from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
+    from kawa_ray.stages.clustering import union_find_components
+
+    tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
+    edges = partition_reduce(
+        tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
+    n_edges = int(edges.count())
+
+    labels_ds = None
+    if n_edges == 0:
+        pass
+    elif n_edges <= _DRIVER_EDGE_THRESHOLD:
+        edf = edges.to_pandas()
+        groups = union_find_components(
+            zip(edf["a"].astype(str), edf["b"].astype(str)))
+        labels_ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([int(k) for k in groups], dtype="int64"),
+            "lbl": pd.Series(list(groups.values()), dtype="str"),
+        }))
+    else:
+        from kawa_ray.stages.clustering import (
+            label_propagation_components,
+            label_propagation_components_bucketed,
+        )
+
+        edges_s = edges.map_batches(
+            lambda df: pd.DataFrame({"a": df["a"].astype(str),
+                                     "b": df["b"].astype(str)}),
+            batch_format="pandas")
+        if 2 * n_edges <= _BCAST_NODE_LIMIT:
+            lab = label_propagation_components(edges_s).map_batches(
+                lambda df: df.rename(columns={"label": "lbl"}),
+                batch_format="pandas")
+        else:
+            lab = label_propagation_components_bucketed(edges_s)
+        labels_ds = lab.map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["node"].astype("int64"),
+                "lbl": df["lbl"].astype(str)}),
+            batch_format="pandas")
+
+    docs = _read_docs(sf_dir, ["doc_id", "lang", "source"])
+
+    # full-corpus (lang, source) census partials -> driver fold
+    total: dict[tuple, int] = {}
+    for batch in docs.map_batches(
+            lambda df: df.groupby(["lang", "source"]).size()
+            .reset_index(name="n"),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        for la, so, n in zip(batch["lang"], batch["source"], batch["n"]):
+            total[(str(la), str(so))] = total.get((str(la), str(so)), 0) + int(n)
+
+    canon: dict[tuple, int] = {}
+    labeled_docs: dict[tuple, int] = {}
+    if labels_ds is not None:
+        def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "lang": df["lang"].astype(str),
+                                 "source": df["source"].astype(str),
+                                 "lbl": [None] * len(df)})
+
+        def lab_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "lang": [None] * len(df),
+                                 "source": [None] * len(df),
+                                 "lbl": df["lbl"].astype(str)})
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["lbl"].notna(), ["doc_id", "lbl"]]
+            dd = g.loc[g["lbl"].isna(), ["doc_id", "lang", "source"]]
+            m = dd.merge(labs, on="doc_id", how="inner")
+            return m[["lbl", "lang", "source"]]
+
+        members = partition_reduce(
+            docs.map_batches(doc_rows, batch_format="pandas")
+            .union(labels_ds.map_batches(lab_rows, batch_format="pandas")),
+            "doc_id", attach).materialize()  # blocking-graph node space
+
+        def canon_part(g: pd.DataFrame) -> pd.DataFrame:
+            out_l, out_s = [], []
+            for _, grp in g.groupby("lbl", sort=False):
+                lv = grp.groupby("lang").size().reset_index(name="n") \
+                    .sort_values(["n", "lang"], ascending=[False, True])
+                sv = grp.groupby("source").size().reset_index(name="n") \
+                    .sort_values(["n", "source"], ascending=[False, True])
+                out_l.append(lv["lang"].iloc[0])
+                out_s.append(sv["source"].iloc[0])
+            part = pd.DataFrame({"lang": out_l, "source": out_s})
+            return part.groupby(["lang", "source"]).size().reset_index(name="n")
+
+        for batch in partition_reduce(members, "lbl", canon_part) \
+                .iter_batches(batch_format="pandas"):
+            for la, so, n in zip(batch["lang"], batch["source"], batch["n"]):
+                canon[(str(la), str(so))] = \
+                    canon.get((str(la), str(so)), 0) + int(n)
+
+        for batch in members.map_batches(
+                lambda df: df.groupby(["lang", "source"]).size()
+                .reset_index(name="n"),
+                batch_format="pandas").iter_batches(batch_format="pandas"):
+            for la, so, n in zip(batch["lang"], batch["source"], batch["n"]):
+                labeled_docs[(str(la), str(so))] = \
+                    labeled_docs.get((str(la), str(so)), 0) + int(n)
+
+    out: dict[tuple, int] = dict(canon)
+    for k, n in total.items():
+        singles = n - labeled_docs.get(k, 0)
+        if singles:
+            out[k] = out.get(k, 0) + singles
+    rows = sorted(out.items())
+    return pd.DataFrame({
+        "lang": [k[0] for k, _ in rows],
+        "source": [k[1] for k, _ in rows],
+        "n_clusters": pd.Series([n for _, n in rows], dtype="int64"),
+    })
+
+
+def _survivorship_sql(num_perm: int = 64, bands: int = 16,
+                      max_members: int = _MB_MAX_MEMBERS) -> str:
+    return f"""
+WITH RECURSIVE {_multirule_ctes(num_perm, bands, max_members)}
+, up AS (SELECT DISTINCT a, b FROM tagged)
+, nodes AS (SELECT DISTINCT v FROM
+            (SELECT a AS v FROM up UNION ALL SELECT b FROM up) q)
+, bidir AS (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM up UNION ALL SELECT b, a FROM up) q)
+, reach(node, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN bidir e ON e.a = r.node
+  WHERE r.lbl < e.b
+)
+, comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+, labeled AS (
+  SELECT d.doc_id, d.lang, d.source, c.lbl
+  FROM documents d JOIN comp c ON c.node = d.doc_id)
+, lvotes AS (SELECT lbl, lang, COUNT(*) AS n FROM labeled GROUP BY lbl, lang)
+, canon_lang AS (
+  SELECT lbl, lang FROM (
+    SELECT lbl, lang,
+           ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY n DESC, lang) AS rn
+    FROM lvotes) q WHERE rn = 1)
+, svotes AS (SELECT lbl, source, COUNT(*) AS n FROM labeled
+             GROUP BY lbl, source)
+, canon_source AS (
+  SELECT lbl, source FROM (
+    SELECT lbl, source,
+           ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY n DESC, source) AS rn
+    FROM svotes) q WHERE rn = 1)
+, units AS (
+  SELECT cl.lang, cs.source
+  FROM canon_lang cl JOIN canon_source cs USING (lbl)
+  UNION ALL
+  SELECT lang, source FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM comp))
+SELECT lang, source, COUNT(*) AS n_clusters
+FROM units GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+SURVIVORSHIP_SQL = _survivorship_sql()
+
+
+# ---------------------------------------------------------------------------
+# block cleaning (Papadakis block purging + block filtering)
+# ---------------------------------------------------------------------------
+
+_BC_PURGE_CAP = 2
+_BC_R_NUM, _BC_R_DEN = 1, 2  # each record keeps ceil(1/2) of its blocks
+_BC_PIN_DOCS = 2_000_000     # pin the membership stream below this
+
+
+def block_cleaning_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                          purge_cap: int = _BC_PURGE_CAP):
+    """Block purging + block filtering (Papadakis et al., "Blocking and
+    Filtering Techniques for Entity Resolution", CSUR 2020) over the
+    MinHash band blocks: purging drops every block larger than
+    ``purge_cap`` whole; filtering then keeps, per record, the
+    ceil(1/2) SMALLEST of its surviving blocks (size, then block key —
+    deterministic).  Output: one row with block and pairwise-comparison
+    counts at each stage — the comparison-budget signal block cleaning
+    exists to provide.
+
+    Three hash-partition exchanges, none carrying text: block sizes
+    attach in-partition on the block key (every member of a block
+    co-locates), the per-record rank runs on a doc_id partition, and
+    kept-block sizes recount on the block key; all six census scalars
+    fold from per-partition partials on the driver."""
+    from kawa_ray.pipelines.docs import _cross_dump_band_rows
+
+    mem = _cross_dump_band_rows(sf_dir, num_perm, bands).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "blk": df["band"].astype(str)}),
+        batch_format="pandas")
+
+    def attach_size(g: pd.DataFrame) -> pd.DataFrame:
+        # every member of a blk co-locates here, so the group size IS
+        # the global block size — attach it AND emit one census marker
+        # row per block (doc_id = -1), so the stage-0/1 census streams
+        # off this same exchange instead of paying a second one
+        out = g.assign(m=g.groupby("blk")["doc_id"].transform("size")
+                       .astype("int64"))
+        census = out.drop_duplicates("blk").assign(doc_id=np.int64(-1))
+        return pd.concat([out, census], ignore_index=True)
+
+    sized = partition_reduce(mem, "blk", attach_size)
+    # two consumers (stage-0/1 census; the filtering chain).  The sized
+    # membership stream is corpus x bands rows — pin it only while the
+    # corpus is small; beyond the ceiling leave it lazy and let each
+    # consumer recompute the banding pass (CPU for zero object-store
+    # pinning, the pin-or-spill trade linkage.py:268 documents)
+    if int(_read_docs(sf_dir, ["doc_id"]).count()) <= _BC_PIN_DOCS:
+        sized = sized.materialize()
+
+    # stage-0/1 census: fold the per-block marker rows (one per blk,
+    # emitted inside the attach exchange) — a streaming filter, no
+    # second exchange
+    n_blocks = n_comp = n_blocks_p = n_comp_p = 0
+    for batch in sized.map_batches(
+            lambda df: df.loc[df["doc_id"] == -1, ["m"]],
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        m = batch["m"].to_numpy()
+        c = m * (m - 1) // 2
+        n_blocks += len(m)
+        n_comp += int(c.sum())
+        keep = m <= purge_cap
+        n_blocks_p += int(keep.sum())
+        n_comp_p += int(c[keep].sum())
+
+    def keep_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["m"] <= purge_cap]
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "blk": pd.Series([], dtype="str")})
+        g = g.sort_values(["doc_id", "m", "blk"])
+        cnt = g.groupby("doc_id")["blk"].transform("size").to_numpy()
+        rn = g.groupby("doc_id").cumcount().to_numpy() + 1
+        lim = (_BC_R_NUM * cnt + _BC_R_DEN - 1) // _BC_R_DEN
+        return g.loc[rn <= lim, ["doc_id", "blk"]]
+
+    # markers filtered BEFORE the doc_id exchange: their constant key
+    # would funnel one row per block onto a single partition at scale
+    kept = partition_reduce(
+        sized.map_batches(lambda df: df[df["doc_id"] != -1],
+                          batch_format="pandas"),
+        "doc_id", keep_rows)
+
+    n_blocks_k = n_comp_k = 0
+    for batch in partition_reduce(
+            kept, "blk",
+            lambda g: g.groupby("blk").size().reset_index(name="m")) \
+            .iter_batches(batch_format="pandas"):
+        m = batch["m"].to_numpy()
+        n_blocks_k += int((m >= 2).sum())
+        n_comp_k += int((m * (m - 1) // 2).sum())
+
+    return pd.DataFrame({
+        "n_blocks": pd.Series([n_blocks], dtype="int64"),
+        "n_comparisons": pd.Series([n_comp], dtype="int64"),
+        "n_blocks_purged": pd.Series([n_blocks_p], dtype="int64"),
+        "n_comp_purged": pd.Series([n_comp_p], dtype="int64"),
+        "n_blocks_kept": pd.Series([n_blocks_k], dtype="int64"),
+        "n_comp_kept": pd.Series([n_comp_k], dtype="int64"),
+    })
+
+
+def _block_cleaning_sql(num_perm: int = 64, bands: int = 16,
+                        purge_cap: int = _BC_PURGE_CAP) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+    from kawa_ray.pipelines.docs import _grams_cte
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_grams_cte(3)}
+, perms(i, pa, pb) AS (VALUES {perm_rows})
+, hm AS (SELECT doc_id, md5_number_lower(g) % {_MERSENNE} AS hm FROM grams)
+, sig AS (
+  SELECT doc_id, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY doc_id, i)
+, mem AS (
+  SELECT doc_id, CAST(i // {rows_per_band} AS VARCHAR) || ':' ||
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS blk
+  FROM sig GROUP BY doc_id, i // {rows_per_band})
+, bsz AS (SELECT blk, COUNT(*) AS m FROM mem GROUP BY blk)
+, purged AS (SELECT doc_id, mem.blk, m FROM mem JOIN bsz USING (blk)
+             WHERE m <= {purge_cap})
+, ranked AS (
+  SELECT doc_id, blk,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m, blk) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS c
+  FROM purged)
+, kept AS (SELECT doc_id, blk FROM ranked
+           WHERE rn <= (({_BC_R_NUM} * c) + {_BC_R_DEN} - 1) // {_BC_R_DEN})
+, ksz AS (SELECT blk, COUNT(*) AS m FROM kept GROUP BY blk)
+SELECT (SELECT COUNT(*) FROM bsz) AS n_blocks,
+       (SELECT COALESCE(CAST(SUM(m*(m-1)//2) AS BIGINT), 0) FROM bsz)
+         AS n_comparisons,
+       (SELECT COUNT(*) FROM bsz WHERE m <= {purge_cap}) AS n_blocks_purged,
+       (SELECT COALESCE(CAST(SUM(m*(m-1)//2) AS BIGINT), 0) FROM bsz
+        WHERE m <= {purge_cap}) AS n_comp_purged,
+       (SELECT COUNT(*) FROM ksz WHERE m >= 2) AS n_blocks_kept,
+       (SELECT COALESCE(CAST(SUM(m*(m-1)//2) AS BIGINT), 0) FROM ksz)
+         AS n_comp_kept
+"""
+
+
+BLOCK_CLEANING_SQL = _block_cleaning_sql()

@@ -23,7 +23,7 @@ rows-only check; their correctness instruments are the pytest suites.
 
 from __future__ import annotations
 
-from kawa_ray.pipelines import blocking_ops, bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, quality_classifier, relational, substring_dedup, textqual, vectors, word2ner_fix
+from kawa_ray.pipelines import blocking_ops, bm25, builder, clean_corpus, docs, dsir, embed_merge, er_queries, fs_linkage, kb_maintenance, lm_quality, media, mixtures, pages_ops, pairscore, quality_classifier, relational, setsim, substring_dedup, textqual, vectors, word2ner_fix
 from kawa_ray.pipelines.lang_resources_query import lang_resources_census
 from kawa_ray.pipelines.yago_validate import YAGO_VALIDATE_SQL, yago_validate
 from kawa_ray.sources.edges_csv import SYNONYM_CLUSTERS_SQL, synonym_clusters
@@ -217,6 +217,14 @@ EXTRA_QUERIES = {
     # as-of join (last-touch attribution): one user-hash exchange +
     # in-partition ordered carry-forward — Ray Data has no native op
     "events_asof_join": relational.events_asof_join,
+    # round-5 classic-ER wave: prefix-filter set-similarity self-join
+    # (AllPairs/PPJoin), golden-record survivorship, batched Levenshtein
+    # pair scoring (byte-exact vs DuckDB levenshtein()), and Papadakis
+    # block purging + filtering
+    "setsim_join_census": setsim.setsim_join_census,
+    "cluster_survivorship_census": blocking_ops.cluster_survivorship_census,
+    "edit_distance_pairs_census": pairscore.edit_distance_pairs_census,
+    "block_cleaning_census": blocking_ops.block_cleaning_census,
     # near-dup representative selection (keep longest per cluster)
     "minhash_keep_best": docs.minhash_keep_best,
     # iterative graph algorithm: integer-discretised PageRank
@@ -330,6 +338,10 @@ EXTRA_ORACLE_SQL = {
     "events_props_stats": relational.EVENTS_PROPS_SQL,
     "events_rolling_max": relational.EVENTS_ROLLING_SQL,
     "events_asof_join": relational.EVENTS_ASOF_SQL,
+    "setsim_join_census": setsim.SETSIM_JOIN_SQL,
+    "cluster_survivorship_census": blocking_ops.SURVIVORSHIP_SQL,
+    "edit_distance_pairs_census": pairscore.EDIT_DISTANCE_SQL,
+    "block_cleaning_census": blocking_ops.BLOCK_CLEANING_SQL,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"

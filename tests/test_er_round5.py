@@ -1,0 +1,130 @@
+"""Round-5 classic-ER wave: prefix-filter set-similarity join,
+golden-record survivorship, batched Levenshtein pair scoring, block
+cleaning.  The DuckDB oracles in tests/test_queries_oracle.py pin all
+four to SQL on the fixture corpus; these tests pin the kernels and the
+distributed shapes on adversarial inputs:
+
+* the byte-DP Levenshtein kernel against DuckDB's ``levenshtein()``
+  itself (unicode, empty strings, ragged lengths);
+* setsim against a brute-force all-pairs Jaccard scan — the prefix
+  filter's no-false-negative guarantee (Bayardo et al. 2007), which
+  holds whenever the per-token cap doesn't bite;
+* survivorship across closure tiers (driver union-find vs broadcast
+  LP) — outputs must be identical;
+* block cleaning with the membership-stream pin forced OFF (the
+  beyond-ceiling recompute path) — output identical to the pinned run.
+"""
+
+import random
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kawa_ray.functions.minhash import word_ngrams
+from kawa_ray.pipelines.pairscore import lev_bytes_batch
+from kawa_ray.pipelines.setsim import (
+    _SS_N,
+    _SS_T_DEN,
+    _SS_T_NUM,
+    setsim_join_census,
+)
+
+_WS = re.compile(r"\s+")
+
+
+def test_lev_kernel_matches_duckdb():
+    import duckdb
+
+    rng = random.Random(11)
+    alpha = list("abcdef 日本語テキスト€é")
+    pairs = []
+    for _ in range(400):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "abc"), ("日本語", ""), ("aa", "aa")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    want = [r[0] for r in
+            con.execute("SELECT levenshtein(a, b) FROM p").fetchall()]
+    got = lev_bytes_batch([a.encode("utf-8") for a, _ in pairs],
+                          [b.encode("utf-8") for _, b in pairs])
+    assert got.tolist() == want
+
+
+def _word_docs(tmp_path, n: int, seed: int, vocab_size: int = 8) -> str:
+    """Word-salad docs over a tiny vocab so bigram sets overlap heavily
+    (many true matches) and every prefix-token block stays far below
+    the 64-member cap (n <= 30)."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 12)))
+             for _ in range(n)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64") * 3 + 1,
+        "text": texts,
+        "lang": rng.choice(["en", "fr"], size=n),
+        "source": rng.choice(["web", "book"], size=n),
+        "n_chars": np.asarray([len(t) for t in texts], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _brute_matches(sf_dir: str) -> int:
+    df = pq.read_table(sf_dir + "/documents.parquet").to_pandas()
+    sets = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        toks = _WS.split(text.lower().strip()) if text.strip() else []
+        gs = set(word_ngrams(toks, _SS_N))
+        if gs:
+            sets[int(did)] = gs
+    ids = sorted(sets)
+    n = 0
+    for x in range(len(ids) - 1):
+        for y in range(x + 1, len(ids)):
+            sa, sb = sets[ids[x]], sets[ids[y]]
+            inter = len(sa & sb)
+            if inter * _SS_T_DEN >= (len(sa) + len(sb) - inter) * _SS_T_NUM:
+                n += 1
+    return n
+
+
+@pytest.mark.parametrize("n,seed", [(0, 1), (1, 2), (12, 3), (30, 4),
+                                    (30, 5)])
+def test_setsim_finds_every_true_match(ray_session, tmp_path, n, seed):
+    sf = _word_docs(tmp_path, n, seed)
+    got = setsim_join_census(sf)
+    want = _brute_matches(sf)
+    assert int(got["n_matches"].iloc[0]) == want
+    assert int(got["n_candidates"].iloc[0]) >= want
+    assert int(got["n_docs"].iloc[0]) == n
+
+
+def test_survivorship_tiers_identical(ray_session, tmp_path, monkeypatch):
+    from kawa_ray.pipelines import blocking_ops, docs
+
+    sf = _word_docs(tmp_path, 40, 9, vocab_size=5)
+    base = blocking_ops.cluster_survivorship_census(sf)
+    assert int(base["n_clusters"].sum()) >= 1
+    # force the broadcast-LP mid tier (edges above the driver threshold)
+    monkeypatch.setattr(docs, "_DRIVER_EDGE_THRESHOLD", 0)
+    mid = blocking_ops.cluster_survivorship_census(sf)
+    pd.testing.assert_frame_equal(base, mid)
+
+
+def test_block_cleaning_lazy_path_identical(ray_session, tmp_path,
+                                            monkeypatch):
+    from kawa_ray.pipelines import blocking_ops
+
+    sf = _word_docs(tmp_path, 25, 13)
+    pinned = blocking_ops.block_cleaning_census(sf)
+    monkeypatch.setattr(blocking_ops, "_BC_PIN_DOCS", 0)
+    lazy = blocking_ops.block_cleaning_census(sf)
+    pd.testing.assert_frame_equal(pinned, lazy)
