@@ -142,6 +142,10 @@ def run_bench() -> dict:
              blocking_ops.cluster_survivorship_census),
             ("edit_distance_pairs_census",
              pairscore.edit_distance_pairs_census),
+            ("tfidf_cosine_pairs_census",
+             pairscore.tfidf_cosine_pairs_census),
+            ("jaro_winkler_pairs_census",
+             pairscore.jaro_winkler_pairs_census),
             ("block_cleaning_census", blocking_ops.block_cleaning_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with

@@ -27,6 +27,7 @@ per-pair Python loop.  Blocks above the cap are dropped whole
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -34,6 +35,8 @@ import pandas as pd
 import ray.data as rd
 
 from kawa_ray.stages.distinct import partition_reduce
+
+_WS = re.compile(r"\s+")
 
 _ED_BUCKET = 8       # n_chars // bucket joins lang in the block key
 _ED_PREFIX = 12      # chars scored per document
@@ -156,3 +159,390 @@ FROM pairs GROUP BY d ORDER BY d
 
 
 EDIT_DISTANCE_SQL = _edit_distance_sql()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine pair scoring
+# ---------------------------------------------------------------------------
+
+_TC_BUCKET = 8        # same cheap block key as the edit-distance census
+_TC_MAX_MEMBERS = 40
+_TC_PARTITIONS = 64
+_TC_SCALE = 1_000_000  # idf in integer micro-units
+
+
+def tfidf_cosine_pairs_census(sf_dir: str, bucket: int = _TC_BUCKET,
+                              max_members: int = _TC_MAX_MEMBERS):
+    """TF-IDF cosine pair scoring — the weighted-token agreement channel
+    (the Dedupe.io / canonical-ER default when no embedding model is
+    wanted).  Token sets weighted by integer-micro idf
+    (``floor(1e6 * ln(n_docs / df))`` — ``math.log`` is bit-identical
+    to DuckDB ``LN``, the lm_quality.py trick), cosine computed in
+    float64 from the exact integer dot/norms with one pinned operation
+    order (num / (sqrt(na2) * sqrt(nb2))) so op and oracle produce the
+    SAME double and the same ``floor(cos * 20)`` bucket.  Pairs come
+    from the edit-distance census's ``lang | n_chars // 8`` equality
+    blocks (capped); documents with zero tokens never enter a block
+    (mirrored in the oracle).  Output: (bucket, n_pairs) histogram.
+
+    Three hash-partition exchanges, none carrying text: df attaches on
+    the token hash, per-doc norms + block keys attach on doc_id (the
+    attr rows union into the same exchange), pairs score inside the
+    block-key partition and only histogram partials leave."""
+    import math
+
+    from kawa_ray.functions.minhash import md5_low64_per_doc
+
+    P = _TC_PARTITIONS
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text", "n_chars"])
+    n_docs = int(docs.count())
+
+    _ws = _WS
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+
+        def per_doc():
+            for text in df["text"].fillna(""):
+                yield (_ws.split(text.lower().strip())
+                       if text.strip() else [])
+
+        out_id, out_th = [], []
+        for did, hs in zip(ids, md5_low64_per_doc(per_doc())):
+            uh = np.unique(hs)
+            if uh.size == 0:
+                continue
+            out_id.append(np.full(uh.size, did, dtype=np.int64))
+            out_th.append(uh.view(np.int64))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(out_id) if out_id else
+            pd.Series([], dtype="int64"),
+            "th": np.concatenate(out_th) if out_th else
+            pd.Series([], dtype="int64"),
+        })
+
+    def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, th) distinct by construction -> group size == df;
+        # math.log per DISTINCT df (handful of values), NOT np.log
+        # (SIMD log drifts 1 ulp from DuckDB LN)
+        dfreq = g.groupby("th")["doc_id"].transform("size").to_numpy()
+        uniq = np.unique(dfreq)
+        lut = {int(d): int(math.floor(_TC_SCALE * math.log(n_docs / int(d))))
+               for d in uniq}
+        w = np.fromiter((lut[int(d)] for d in dfreq), dtype=np.int64,
+                        count=len(dfreq))
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "th": g["th"].to_numpy(), "w": w})
+
+    tok = docs.map_batches(tok_rows, batch_format="pandas")
+    weighted = partition_reduce(tok, "th", attach_idf, partitions=P)
+
+    def attr_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "th": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "k": pd.Series([], dtype="str")})
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "th": pd.Series([-1] * len(df), dtype="int64"),
+            "w": pd.Series([0] * len(df), dtype="int64"),
+            "k": df["lang"].fillna("") + "|"
+            + (df["n_chars"].astype("int64") // bucket).astype(str),
+        })
+
+    def attach_key(g: pd.DataFrame) -> pd.DataFrame:
+        # th == -1 marks the attr row (the _verified_edges attach idiom)
+        keys = g.loc[g["th"] == -1, ["doc_id", "k"]]
+        toks = g.loc[g["th"] != -1, ["doc_id", "th", "w"]]
+        m = toks.merge(keys, on="doc_id", how="inner")
+        n2 = m.groupby("doc_id")["w"].transform(lambda s: (s * s).sum())
+        return m.assign(n2=n2.astype("int64"))
+
+    keyed = partition_reduce(
+        weighted.map_batches(lambda df: df.assign(k=""),
+                             batch_format="pandas")
+        .union(docs.map_batches(attr_rows, batch_format="pandas")),
+        "doc_id", attach_key, partitions=P)
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[int, int] = {}
+        for _, blk in g.groupby("k", sort=False):
+            per_doc = {did: grp for did, grp in blk.groupby("doc_id",
+                                                            sort=False)}
+            mem = sorted(per_doc)
+            if len(mem) < 2 or len(mem) > max_members:
+                continue
+            ths, ws, n2s = {}, {}, {}
+            for d in mem:
+                th = per_doc[d]["th"].to_numpy()
+                w = per_doc[d]["w"].to_numpy()
+                # the doc_id exchange reassembles a doc's rows in
+                # arbitrary concat order — searchsorted NEEDS sorted th
+                o = np.argsort(th)
+                ths[d], ws[d] = th[o], w[o]
+                n2s[d] = int(per_doc[d]["n2"].iloc[0])
+            for x in range(len(mem) - 1):
+                a = mem[x]
+                ta, wa = ths[a], ws[a]
+                for y in range(x + 1, len(mem)):
+                    b = mem[y]
+                    idx = np.searchsorted(ta, ths[b])
+                    idx[idx >= ta.size] = 0
+                    hit = ta[idx] == ths[b]
+                    num = int((wa[idx[hit]].astype(np.int64)
+                               * ws[b][hit].astype(np.int64)).sum())
+                    if n2s[a] == 0 or n2s[b] == 0:
+                        # a doc whose every token has idf 0 (appears in
+                        # ALL docs) has zero norm; 0/0 is NaN — pin the
+                        # convention to bucket 0, mirrored in the oracle
+                        bkt = 0
+                    else:
+                        cos = num / (np.sqrt(np.float64(n2s[a]))
+                                     * np.sqrt(np.float64(n2s[b])))
+                        bkt = int(np.floor(cos * 20.0))
+                    out[bkt] = out.get(bkt, 0) + 1
+        if not out:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        items = sorted(out.items())
+        return pd.DataFrame({"bucket": pd.Series([k for k, _ in items],
+                                                 dtype="int64"),
+                             "n_pairs": pd.Series([v for _, v in items],
+                                                  dtype="int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(keyed, "k", score_part, partitions=P) \
+            .iter_batches(batch_format="pandas"):
+        for bv, n in zip(batch["bucket"], batch["n_pairs"]):
+            acc[int(bv)] = acc.get(int(bv), 0) + int(n)
+    out = pd.DataFrame(sorted(acc.items()), columns=["bucket", "n_pairs"])
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _tfidf_cosine_sql(bucket: int = _TC_BUCKET,
+                      max_members: int = _TC_MAX_MEMBERS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents),
+gh AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS th
+       FROM (SELECT doc_id, UNNEST(t) AS g FROM toks) q),
+dfreq AS (SELECT th, COUNT(*) AS df FROM gh GROUP BY th),
+w AS (
+  SELECT doc_id, th,
+         CAST(FLOOR({_TC_SCALE} * LN(
+           CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df))
+           AS BIGINT) AS w
+  FROM gh JOIN dfreq USING (th)),
+n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+       FROM w GROUP BY doc_id),
+keyed AS (
+  SELECT d.doc_id,
+         d.lang || '|' || CAST(d.n_chars // {bucket} AS VARCHAR) AS k
+  FROM documents d JOIN n2 ON n2.doc_id = d.doc_id),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY k) AS m FROM keyed),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sized a JOIN sized b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m BETWEEN 2 AND {max_members}),
+num AS (
+  SELECT p.a, p.b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS num
+  FROM pairs p
+  JOIN w wa ON wa.doc_id = p.a
+  JOIN w wb ON wb.doc_id = p.b AND wb.th = wa.th
+  GROUP BY p.a, p.b),
+scored AS (
+  SELECT CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0
+         ELSE CAST(FLOOR(CAST(COALESCE(n.num, 0) AS DOUBLE)
+              / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+              * 20.0) AS BIGINT) END AS bucket
+  FROM pairs p
+  LEFT JOIN num n ON n.a = p.a AND n.b = p.b
+  JOIN n2 na ON na.doc_id = p.a
+  JOIN n2 nb ON nb.doc_id = p.b)
+SELECT bucket, COUNT(*) AS n_pairs FROM scored
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+TFIDF_COSINE_SQL = _tfidf_cosine_sql()
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler pair scoring
+# ---------------------------------------------------------------------------
+
+_JW_BUCKET = 8
+_JW_PREFIX = 16      # chars scored per document
+_JW_MAX_MEMBERS = 40
+_JW_PARTITIONS = 64
+
+
+def jw_bytes_batch(sa: list[bytes], sb: list[bytes]) -> np.ndarray:
+    """Jaro-Winkler similarity over byte strings, vectorised across the
+    pair axis (no per-pair Python loop).  Bit-exact against DuckDB's
+    ``jaro_winkler_similarity`` (fuzz-verified over 13k random pairs
+    incl. unicode — DuckDB is BYTE-level, like its ``levenshtein``):
+    match window ``max(max(la,lb)//2 - 1, 0)``, greedy first-available
+    matching, transpositions ``// 2``, sim ``(m/la + m/lb + (m-t)/m)/3``
+    with the Winkler boost ``sim + pref*0.1*(1-sim)`` for ``sim > 0.7``
+    and a ≤4-byte common prefix; EITHER side empty (including both)
+    scores 0.0 — DuckDB's convention, NOT the textbook 1.0 for
+    equal-empty.  The greedy scan is ``la_max × lb_max`` O(n)-wide numpy
+    steps; matched-char sequences compact via cumsum scatter so the
+    transposition count never loops over pairs."""
+    n = len(sa)
+    res = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return res
+    la = np.fromiter((len(x) for x in sa), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=n)
+    la_max, lb_max = int(la.max()), int(lb.max())
+    if la_max == 0 or lb_max == 0:
+        return res
+    A = np.frombuffer(
+        b"".join(x.ljust(la_max, b"\0") for x in sa), dtype=np.uint8
+    ).reshape(n, la_max)
+    B = np.frombuffer(
+        b"".join(x.ljust(lb_max, b"\0") for x in sb), dtype=np.uint8
+    ).reshape(n, lb_max)
+    dist = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    m1 = np.zeros((n, la_max), dtype=bool)
+    m2 = np.zeros((n, lb_max), dtype=bool)
+    for i in range(la_max):
+        found = la <= i          # rows whose s1 ends before i never match
+        ai = A[:, i]
+        lo = i - dist
+        hi = i + dist + 1
+        for j in range(lb_max):
+            ok = (~found) & (j >= lo) & (j < hi) & (j < lb) \
+                & (~m2[:, j]) & (B[:, j] == ai)
+            if ok.any():
+                m1[ok, i] = True
+                m2[ok, j] = True
+                found |= ok
+    m = m1.sum(axis=1)
+    has = m > 0
+    if has.any():
+        mmax = int(m.max())
+        M1 = np.zeros((n, mmax), dtype=np.uint8)
+        M2 = np.zeros((n, mmax), dtype=np.uint8)
+        r, ii = np.nonzero(m1)
+        M1[r, (m1.cumsum(axis=1) - 1)[r, ii]] = A[r, ii]
+        r, jj = np.nonzero(m2)
+        M2[r, (m2.cumsum(axis=1) - 1)[r, jj]] = B[r, jj]
+        colmask = np.arange(mmax)[None, :] < m[:, None]
+        t = ((M1 != M2) & colmask).sum(axis=1) // 2
+        mf = m.astype(np.float64)
+        mdiv = np.where(has, mf, 1.0)
+        # rows with an empty side have m == 0 and are masked below; keep
+        # their divisors non-zero so no spurious 0/0 warning fires
+        ladiv = np.where(la > 0, la, 1)
+        lbdiv = np.where(lb > 0, lb, 1)
+        sim = (mf / ladiv + mf / lbdiv + (mf - t) / mdiv) / 3.0
+        pref = np.zeros(n, dtype=np.int64)
+        run = np.ones(n, dtype=bool)
+        for k in range(min(4, la_max, lb_max)):
+            run &= (k < la) & (k < lb) & (A[:, k] == B[:, k])
+            pref += run
+        boost = sim > 0.7
+        sim = np.where(boost,
+                       sim + pref.astype(np.float64) * 0.1 * (1.0 - sim),
+                       sim)
+        res = np.where(has, sim, 0.0)
+    return res
+
+
+def jaro_winkler_pairs_census(sf_dir: str, bucket: int = _JW_BUCKET,
+                              prefix_chars: int = _JW_PREFIX,
+                              max_members: int = _JW_MAX_MEMBERS):
+    """Jaro-Winkler pair scoring — the classic record-linkage name
+    agreement channel (Winkler 1990, the Census Bureau scorer; every
+    Fellegi-Sunter implementation ships it).  Same equality blocks and
+    histogram shape as the edit-distance census, with similarity
+    bucketed ``floor(sim * 20)``; the kernel is bit-exact vs DuckDB so
+    the bucket boundaries can never disagree.  Scale shape: ONE
+    hash-partition exchange on the block key, pairs generated and
+    scored inside the partition, only (bucket, count) partials leave."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text", "n_chars"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="str"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "p": pd.Series([], dtype="str")})
+        return pd.DataFrame({
+            "k": df["lang"].fillna("") + "|"
+            + (df["n_chars"].astype("int64") // bucket).astype(str),
+            "doc_id": df["doc_id"].astype("int64"),
+            "p": df["text"].fillna("").str.slice(0, prefix_chars),
+        })
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["k"].to_numpy(), kind="stable")
+        k = g["k"].to_numpy()[order]
+        did = g["doc_id"].to_numpy()[order]
+        ps = g["p"].to_numpy()[order]
+        pa_b: list[bytes] = []
+        pb_b: list[bytes] = []
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        for i, j in zip(starts, ends):
+            m = j - i
+            if m < 2 or m > max_members:
+                continue
+            mem = sorted(zip(did[i:j].tolist(), ps[i:j].tolist()))
+            for x in range(m - 1):
+                ebx = mem[x][1].encode("utf-8")
+                for y in range(x + 1, m):
+                    pa_b.append(ebx)
+                    pb_b.append(mem[y][1].encode("utf-8"))
+        sim = jw_bytes_batch(pa_b, pb_b)
+        if sim.size == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        vals, cnts = np.unique(
+            np.floor(sim * 20.0).astype(np.int64), return_counts=True)
+        return pd.DataFrame({"bucket": vals.astype("int64"),
+                             "n_pairs": cnts.astype("int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(
+            docs.map_batches(keyed, batch_format="pandas"), "k", score_part,
+            partitions=_JW_PARTITIONS).iter_batches(batch_format="pandas"):
+        for bv, nv in zip(batch["bucket"], batch["n_pairs"]):
+            acc[int(bv)] = acc.get(int(bv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()), columns=["bucket", "n_pairs"])
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _jaro_winkler_sql(bucket: int = _JW_BUCKET,
+                      prefix_chars: int = _JW_PREFIX,
+                      max_members: int = _JW_MAX_MEMBERS) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, {prefix_chars}) AS p,
+         lang || '|' || CAST(n_chars // {bucket} AS VARCHAR) AS k
+  FROM documents),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY k) AS m FROM keyed),
+pairs AS (
+  SELECT jaro_winkler_similarity(a.p, b.p) AS s
+  FROM sized a JOIN sized b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m BETWEEN 2 AND {max_members})
+SELECT CAST(FLOOR(s * 20.0) AS BIGINT) AS bucket, COUNT(*) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+JARO_WINKLER_SQL = _jaro_winkler_sql()

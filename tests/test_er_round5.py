@@ -128,3 +128,116 @@ def test_block_cleaning_lazy_path_identical(ray_session, tmp_path,
     monkeypatch.setattr(blocking_ops, "_BC_PIN_DOCS", 0)
     lazy = blocking_ops.block_cleaning_census(sf)
     pd.testing.assert_frame_equal(pinned, lazy)
+
+
+def _tfidf_brute(sf_dir: str, bucket: int = 8, cap: int = 40) -> pd.DataFrame:
+    """Independent single-process reference: same tokenization, same
+    integer-micro idf, same pinned float expression."""
+    import math
+
+    from kawa_ray.functions.minhash import md5_low64
+
+    df = pq.read_table(sf_dir + "/documents.parquet").to_pandas()
+    n_docs = len(df)
+    sets = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        toks = _WS.split(str(text).lower().strip()) if str(text).strip() else []
+        hs = {md5_low64(t) for t in toks}
+        if hs:
+            sets[int(did)] = hs
+    dfreq: dict = {}
+    for hs in sets.values():
+        for h in hs:
+            dfreq[h] = dfreq.get(h, 0) + 1
+    w = {h: math.floor(1_000_000 * math.log(n_docs / d))
+         for h, d in dfreq.items()}
+    n2 = {did: sum(w[h] * w[h] for h in hs) for did, hs in sets.items()}
+    key = {int(r.doc_id): f"{r.lang}|{int(r.n_chars) // bucket}"
+           for r in df.itertuples() if int(r.doc_id) in sets}
+    blocks: dict = {}
+    for did, k in key.items():
+        blocks.setdefault(k, []).append(did)
+    hist: dict = {}
+    for mem in blocks.values():
+        mem = sorted(mem)
+        if len(mem) < 2 or len(mem) > cap:
+            continue
+        for x in range(len(mem) - 1):
+            for y in range(x + 1, len(mem)):
+                a, b = mem[x], mem[y]
+                num = sum(w[h] * w[h] for h in sets[a] & sets[b])
+                if n2[a] == 0 or n2[b] == 0:
+                    bkt = 0
+                else:
+                    cos = num / (np.sqrt(np.float64(n2[a]))
+                                 * np.sqrt(np.float64(n2[b])))
+                    bkt = int(np.floor(cos * 20.0))
+                hist[bkt] = hist.get(bkt, 0) + 1
+    out = pd.DataFrame(sorted(hist.items()), columns=["bucket", "n_pairs"])
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n,seed", [(0, 21), (1, 22), (25, 23), (60, 24)])
+def test_tfidf_cosine_matches_brute_force(ray_session, tmp_path, n, seed):
+    from kawa_ray.pipelines.pairscore import tfidf_cosine_pairs_census
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=6)
+    got = tfidf_cosine_pairs_census(sf)
+    want = _tfidf_brute(sf)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_jw_kernel_matches_duckdb():
+    import duckdb
+
+    from kawa_ray.pipelines.pairscore import jw_bytes_batch
+
+    rng = random.Random(19)
+    alphabets = ["ab", "abcdefg", "abcdefghijklmnop", "aéß漢x"]
+    pairs = []
+    for alpha in alphabets:
+        for _ in range(600):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+            pairs.append((a, b))
+    pairs += [("", ""), ("", "a"), ("a", ""), ("a", "a"), ("ab", "ab"),
+              ("martha", "marhta"), ("dixon", "dicksonx"),
+              ("abcd", "abcd"), ("abcdx", "abcdy")]
+    con = duckdb.connect()
+    p = pd.DataFrame(pairs, columns=["a", "b"])
+    want = con.execute(
+        "SELECT jaro_winkler_similarity(a, b) AS s FROM p").df()["s"]
+    got = jw_bytes_batch([a.encode("utf-8") for a, _ in pairs],
+                         [b.encode("utf-8") for _, b in pairs])
+    # bit-exact, not approx: the census buckets floor(sim*20) and jaro
+    # values are rationals that land EXACTLY on bucket edges
+    assert (np.asarray(want, dtype=np.float64).view(np.int64)
+            == got.view(np.int64)).all()
+
+
+def _jw_brute(sf_dir: str, bucket: int = 8, prefix_chars: int = 16,
+              cap: int = 40) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    # an EMPTY fixture's text column round-trips as typeless (DuckDB
+    # binds it DOUBLE); the real tables are always VARCHAR — cast here
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    from kawa_ray.pipelines.pairscore import _jaro_winkler_sql
+    return con.execute(_jaro_winkler_sql(bucket, prefix_chars, cap)).df() \
+        .astype({"bucket": "int64", "n_pairs": "int64"})
+
+
+@pytest.mark.parametrize("n,seed", [(0, 31), (1, 32), (25, 33), (60, 34)])
+def test_jaro_winkler_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    from kawa_ray.pipelines.pairscore import jaro_winkler_pairs_census
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=6)
+    got = jaro_winkler_pairs_census(sf)
+    want = _jw_brute(sf)
+    pd.testing.assert_frame_equal(got, want)

@@ -238,8 +238,13 @@ def main() -> None:
         multirule_cluster_census,
         snm_blocking_census,
     )
+    from kawa_ray.pipelines.blocking_ops import (
+        block_cleaning_census,
+        cluster_survivorship_census,
+    )
     from kawa_ray.pipelines.dsir import dsir_selection_census
     from kawa_ray.pipelines.quality_classifier import quality_classifier_census
+    from kawa_ray.pipelines.setsim import setsim_join_census
     from kawa_ray.pipelines.substring_dedup import doc_substring_dup_census
 
     queries = [
@@ -256,6 +261,10 @@ def main() -> None:
         ("metablocking_census", metablocking_census),
         ("multirule_blocking_census", multirule_blocking_census),
         ("multirule_cluster_census", multirule_cluster_census),
+        # round-5 wave
+        ("setsim_join_census", setsim_join_census),
+        ("cluster_survivorship_census", cluster_survivorship_census),
+        ("block_cleaning_census", block_cleaning_census),
     ]
     res: dict = {"copies": COPIES, "queries": {}}
     for name, fn in queries:
