@@ -146,6 +146,8 @@ def run_bench() -> dict:
              pairscore.tfidf_cosine_pairs_census),
             ("jaro_winkler_pairs_census",
              pairscore.jaro_winkler_pairs_census),
+            ("phonetic_blocking_census",
+             blocking_ops.phonetic_blocking_census),
             ("block_cleaning_census", blocking_ops.block_cleaning_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with

@@ -1007,3 +1007,108 @@ SELECT (SELECT COUNT(*) FROM bsz) AS n_blocks,
 
 
 BLOCK_CLEANING_SQL = _block_cleaning_sql()
+
+
+# ---------------------------------------------------------------------------
+# Phonetic (Soundex) blocking census
+# ---------------------------------------------------------------------------
+
+_PH_PARTITIONS = 64
+
+# Odell-Russell Soundex groups, SIMPLIFIED: vowels + h/w map to 0 and
+# break/collapse like any other group (no h/w-bridging rule — that rule
+# needs lookbehind state and buys nothing for blocking recall).  The
+# Python kernel and the SQL oracle implement this SAME spec, so the
+# oracle is exact by construction.
+_SDX_GROUPS = (("aeiouyhw", "0"), ("bfpv", "1"), ("cgjkqsxz", "2"),
+               ("dt", "3"), ("l", "4"), ("mn", "5"), ("r", "6"))
+_SDX_MAP = {c: d for grp, d in _SDX_GROUPS for c in grp}
+
+
+def soundex_key(tok: str) -> str:
+    """Simplified Soundex over an [a-z]+ token: first letter + the first
+    three non-zero digits of the run-collapsed code string (first
+    position dropped), zero-padded.  '' for an empty token."""
+    if not tok:
+        return ""
+    digs = [_SDX_MAP[c] for c in tok]
+    coll = [digs[0]]
+    for d in digs[1:]:
+        if d != coll[-1]:
+            coll.append(d)
+    body = "".join(d for d in coll[1:] if d != "0")
+    return tok[0] + (body + "000")[:3]
+
+
+def phonetic_blocking_census(sf_dir: str):
+    """Phonetic blocking census — the oldest ER blocking channel
+    (Odell & Russell 1918; every record-linkage toolkit ships Soundex
+    blocking).  Key = simplified Soundex of the document's first
+    [a-z]+ token; output = the block-size histogram
+    (block_size, n_blocks) the blocking-quality step consumes.
+
+    Scale shape: per-batch (key, count) partials are pre-aggregated
+    BEFORE the exchange, so the single hash-partition shuffle moves at
+    most |batches| x |distinct keys| short rows (Soundex key space is
+    ~26 x 7^3); histogram partials fold on the driver.  No pairs, no
+    text past the first map."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def key_partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].fillna("").str.lower()
+                .str.extract(r"([a-z]+)", expand=False).fillna(""))
+        codes, uniq = pd.factorize(toks)
+        keys = np.asarray([soundex_key(t) for t in uniq], dtype=object)
+        if keys.size == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype="str"),
+                                 "n": pd.Series([], dtype="int64")})
+        k = keys[codes]
+        vc = pd.Series(k[k != ""]).value_counts()
+        return pd.DataFrame({"k": vc.index.astype(str),
+                             "n": vc.to_numpy().astype("int64")})
+
+    def histogram(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"block_size": pd.Series([], dtype="int64"),
+                                 "n_blocks": pd.Series([], dtype="int64")})
+        vc = g.groupby("k")["n"].sum().value_counts()
+        return pd.DataFrame({"block_size": vc.index.astype("int64"),
+                             "n_blocks": vc.to_numpy().astype("int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(
+            docs.map_batches(key_partials, batch_format="pandas"), "k",
+            histogram, partitions=_PH_PARTITIONS) \
+            .iter_batches(batch_format="pandas"):
+        for s, nb in zip(batch["block_size"], batch["n_blocks"]):
+            acc[int(s)] = acc.get(int(s), 0) + int(nb)
+    out = pd.DataFrame(sorted(acc.items()), columns=["block_size",
+                                                     "n_blocks"])
+    out["block_size"] = out["block_size"].astype("int64")
+    out["n_blocks"] = out["n_blocks"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _phonetic_sql() -> str:
+    mapped = "tok"
+    for grp, d in _SDX_GROUPS:
+        mapped = f"regexp_replace({mapped}, '[{grp}]', '{d}', 'g')"
+    coll = mapped
+    for d in "0123456":
+        coll = f"regexp_replace({coll}, '{d}+', '{d}', 'g')"
+    return f"""
+WITH tok AS (
+  SELECT regexp_extract(LOWER(COALESCE(text, '')), '[a-z]+') AS tok
+  FROM documents),
+keyed AS (
+  SELECT substring(tok, 1, 1) ||
+         substring(replace(substring({coll}, 2), '0', '') || '000', 1, 3)
+         AS k
+  FROM tok WHERE tok <> ''),
+sizes AS (SELECT k, COUNT(*) AS sz FROM keyed GROUP BY k)
+SELECT CAST(sz AS BIGINT) AS block_size, COUNT(*) AS n_blocks
+FROM sizes GROUP BY sz ORDER BY sz
+"""
+
+
+PHONETIC_BLOCKING_SQL = _phonetic_sql()

@@ -234,6 +234,7 @@ EXTRA_QUERIES = {
     "tfidf_cosine_pairs_census": pairscore.tfidf_cosine_pairs_census,
     "jaro_winkler_pairs_census": pairscore.jaro_winkler_pairs_census,
     "block_cleaning_census": blocking_ops.block_cleaning_census,
+    "phonetic_blocking_census": blocking_ops.phonetic_blocking_census,
     # round-5 window swap demotions (still oracle-checked here)
     "minhash_dedup_docs": docs.minhash_dedup_docs,
     "doc_winnow_fingerprints": docs.doc_winnow_fingerprints,
@@ -354,6 +355,7 @@ EXTRA_ORACLE_SQL = {
     "tfidf_cosine_pairs_census": pairscore.TFIDF_COSINE_SQL,
     "jaro_winkler_pairs_census": pairscore.JARO_WINKLER_SQL,
     "block_cleaning_census": blocking_ops.BLOCK_CLEANING_SQL,
+    "phonetic_blocking_census": blocking_ops.PHONETIC_BLOCKING_SQL,
     "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,
     "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,
 }

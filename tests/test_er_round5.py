@@ -241,3 +241,50 @@ def test_jaro_winkler_census_matches_duckdb(ray_session, tmp_path, n, seed):
     got = jaro_winkler_pairs_census(sf)
     want = _jw_brute(sf)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_soundex_key_classic_examples():
+    from kawa_ray.pipelines.blocking_ops import soundex_key
+
+    # classic Odell-Russell values (simplified variant: no h/w bridging,
+    # so 'ashcraft' is a226 here, not the full-rule A261)
+    assert soundex_key("robert") == "r163"
+    assert soundex_key("rupert") == "r163"
+    assert soundex_key("tymczak") == "t522"
+    assert soundex_key("pfister") == "p236"
+    assert soundex_key("jackson") == "j250"
+    assert soundex_key("a") == "a000"
+    assert soundex_key("") == ""
+
+
+@pytest.mark.parametrize("n,seed", [(0, 41), (1, 42), (80, 43)])
+def test_phonetic_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    import duckdb
+
+    from kawa_ray.pipelines.blocking_ops import (
+        PHONETIC_BLOCKING_SQL,
+        phonetic_blocking_census,
+    )
+
+    rng = np.random.RandomState(seed)
+    names = ["smith", "smyth", "robert", "rupert", "ashcraft", "tymczak",
+             "pfister", "jackson", "lee", "ng", "", "123", "Ümlaut",
+             "日本語", "o'brien"]
+    texts = [" ".join(rng.choice(names, size=rng.randint(1, 5)))
+             for _ in range(n)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * n,
+        "n_chars": np.asarray([len(t) for t in texts], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = phonetic_blocking_census(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(PHONETIC_BLOCKING_SQL).df() \
+        .astype({"block_size": "int64", "n_blocks": "int64"})
+    pd.testing.assert_frame_equal(got, want)
