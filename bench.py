@@ -148,6 +148,7 @@ def run_bench() -> dict:
              pairscore.jaro_winkler_pairs_census),
             ("phonetic_blocking_census",
              blocking_ops.phonetic_blocking_census),
+            ("fs_decision_census", pairscore.fs_decision_census),
             ("block_cleaning_census", blocking_ops.block_cleaning_census),
         ):
             # best-of-2 per operator: single-run timings swing +-30% with

@@ -546,3 +546,170 @@ FROM pairs GROUP BY 1 ORDER BY 1
 
 
 JARO_WINKLER_SQL = _jaro_winkler_sql()
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter multi-channel match-decision census
+# ---------------------------------------------------------------------------
+
+_FS_BUCKET = 8
+_FS_PREFIX = 16
+_FS_MAX_MEMBERS = 40
+_FS_PARTITIONS = 64
+
+# channel thresholds + integer FS weights (log-likelihood-ratio style,
+# scaled to small ints; the EM-trained analogue lives in fs_linkage.py
+# — here the weights are FIXED so the decision census is oracle-exact)
+_FS_JW_T = 0.88      # name-channel agreement: Jaro-Winkler on prefixes
+_FS_LEV_T = 3        # typo-channel agreement: Levenshtein on prefixes
+_FS_W = {            # (agree, disagree) per channel
+    "jw": (20, -10),
+    "lev": (14, -7),
+    "src": (3, -3),
+}
+_FS_MATCH_T = 20     # total weight >= -> 'match'
+_FS_POSSIBLE_T = 0   # total weight >= -> 'possible' (clerical band)
+
+
+def fs_decision_census(sf_dir: str, bucket: int = _FS_BUCKET,
+                       prefix_chars: int = _FS_PREFIX,
+                       max_members: int = _FS_MAX_MEMBERS):
+    """Fellegi-Sunter match-decision census — the END of the classic ER
+    pipeline (Fellegi & Sunter 1969): block, compute a per-pair
+    agreement VECTOR over independent channels, sum per-channel
+    log-likelihood weights, and cut the score into
+    match / possible (clerical review) / nonmatch.  Channels here:
+    Jaro-Winkler >= 0.88 on 16-char prefixes (the name channel),
+    Levenshtein <= 3 on the same prefixes (the typo channel), and
+    source equality (the metadata channel).  Both string kernels are
+    bit-exact vs DuckDB, so agreement bits — and therefore patterns,
+    weights and decisions — can never disagree with the oracle.
+    Output: (pattern, decision, n_pairs), pattern = the 3-bit agreement
+    vector.
+
+    Scale shape: identical to the other pair censuses — ONE
+    hash-partition exchange on the cheap block key, channels computed
+    batch-vectorised inside the partition, only (pattern, count)
+    partials leave."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text", "n_chars",
+                                    "source"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="str"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "p": pd.Series([], dtype="str"),
+                                 "src": pd.Series([], dtype="str")})
+        return pd.DataFrame({
+            "k": df["lang"].fillna("") + "|"
+            + (df["n_chars"].astype("int64") // bucket).astype(str),
+            "doc_id": df["doc_id"].astype("int64"),
+            "p": df["text"].fillna("").str.slice(0, prefix_chars),
+            "src": df["source"].fillna(""),
+        })
+
+    jw_thresh = np.float64(_FS_JW_T)
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["k"].to_numpy(), kind="stable")
+        k = g["k"].to_numpy()[order]
+        did = g["doc_id"].to_numpy()[order]
+        ps = g["p"].to_numpy()[order]
+        srcs = g["src"].to_numpy()[order]
+        pa_b: list[bytes] = []
+        pb_b: list[bytes] = []
+        sa: list[str] = []
+        sb: list[str] = []
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        for i, j in zip(starts, ends):
+            m = j - i
+            if m < 2 or m > max_members:
+                continue
+            mem = sorted(zip(did[i:j].tolist(), ps[i:j].tolist(),
+                             srcs[i:j].tolist()))
+            for x in range(m - 1):
+                ebx = mem[x][1].encode("utf-8")
+                for y in range(x + 1, m):
+                    pa_b.append(ebx)
+                    pb_b.append(mem[y][1].encode("utf-8"))
+                    sa.append(mem[x][2])
+                    sb.append(mem[y][2])
+        if not pa_b:
+            return pd.DataFrame({"pattern": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        c_jw = jw_bytes_batch(pa_b, pb_b) >= jw_thresh
+        c_lev = lev_bytes_batch(pa_b, pb_b) <= _FS_LEV_T
+        c_src = np.asarray(sa, dtype=object) == np.asarray(sb, dtype=object)
+        pattern = (4 * c_jw.astype(np.int64) + 2 * c_lev.astype(np.int64)
+                   + c_src.astype(np.int64))
+        vals, cnts = np.unique(pattern, return_counts=True)
+        return pd.DataFrame({"pattern": vals.astype("int64"),
+                             "n_pairs": cnts.astype("int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(
+            docs.map_batches(keyed, batch_format="pandas"), "k", score_part,
+            partitions=_FS_PARTITIONS).iter_batches(batch_format="pandas"):
+        for pv, nv in zip(batch["pattern"], batch["n_pairs"]):
+            acc[int(pv)] = acc.get(int(pv), 0) + int(nv)
+
+    def _decision(pattern: int) -> str:
+        w = (_FS_W["jw"][0] if pattern & 4 else _FS_W["jw"][1]) \
+            + (_FS_W["lev"][0] if pattern & 2 else _FS_W["lev"][1]) \
+            + (_FS_W["src"][0] if pattern & 1 else _FS_W["src"][1])
+        if w >= _FS_MATCH_T:
+            return "match"
+        if w >= _FS_POSSIBLE_T:
+            return "possible"
+        return "nonmatch"
+
+    items = sorted(acc.items())
+    out = pd.DataFrame({
+        "pattern": pd.Series([p for p, _ in items], dtype="int64"),
+        "decision": pd.Series([_decision(p) for p, _ in items],
+                              dtype="str"),
+        "n_pairs": pd.Series([n for _, n in items], dtype="int64"),
+    })
+    return out.reset_index(drop=True)
+
+
+def _fs_decision_sql(bucket: int = _FS_BUCKET,
+                     prefix_chars: int = _FS_PREFIX,
+                     max_members: int = _FS_MAX_MEMBERS) -> str:
+    jw_a, jw_d = _FS_W["jw"]
+    lev_a, lev_d = _FS_W["lev"]
+    src_a, src_d = _FS_W["src"]
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, {prefix_chars}) AS p,
+         COALESCE(source, '') AS src,
+         lang || '|' || CAST(n_chars // {bucket} AS VARCHAR) AS k
+  FROM documents),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY k) AS m FROM keyed),
+ch AS (
+  SELECT CASE WHEN jaro_winkler_similarity(a.p, b.p)
+                   >= CAST({_FS_JW_T} AS DOUBLE) THEN 1 ELSE 0 END AS c_jw,
+         CASE WHEN levenshtein(a.p, b.p) <= {_FS_LEV_T}
+              THEN 1 ELSE 0 END AS c_lev,
+         CASE WHEN a.src = b.src THEN 1 ELSE 0 END AS c_src
+  FROM sized a JOIN sized b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m BETWEEN 2 AND {max_members}),
+pat AS (
+  SELECT 4*c_jw + 2*c_lev + c_src AS pattern,
+         (CASE WHEN c_jw = 1 THEN {jw_a} ELSE {jw_d} END)
+         + (CASE WHEN c_lev = 1 THEN {lev_a} ELSE {lev_d} END)
+         + (CASE WHEN c_src = 1 THEN {src_a} ELSE {src_d} END) AS w
+  FROM ch)
+SELECT CAST(pattern AS BIGINT) AS pattern,
+       CASE WHEN w >= {_FS_MATCH_T} THEN 'match'
+            WHEN w >= {_FS_POSSIBLE_T} THEN 'possible'
+            ELSE 'nonmatch' END AS decision,
+       COUNT(*) AS n_pairs
+FROM pat GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+FS_DECISION_SQL = _fs_decision_sql()

@@ -288,3 +288,42 @@ def test_phonetic_census_matches_duckdb(ray_session, tmp_path, n, seed):
     want = con.execute(PHONETIC_BLOCKING_SQL).df() \
         .astype({"block_size": "int64", "n_blocks": "int64"})
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("n,seed", [(0, 51), (1, 52), (60, 53)])
+def test_fs_decision_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    import duckdb
+
+    from kawa_ray.pipelines.pairscore import (
+        FS_DECISION_SQL,
+        fs_decision_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=6)
+    got = fs_decision_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, CAST(source AS VARCHAR) AS source, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(FS_DECISION_SQL).df() \
+        .astype({"pattern": "int64", "n_pairs": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fs_decision_bands_are_consistent():
+    # every pattern's decision follows its weight sum; the full-agree
+    # pattern is a match, the full-disagree pattern a nonmatch
+    from kawa_ray.pipelines.pairscore import (
+        _FS_MATCH_T,
+        _FS_POSSIBLE_T,
+        _FS_W,
+    )
+    def w(p):
+        return (_FS_W["jw"][0] if p & 4 else _FS_W["jw"][1]) \
+            + (_FS_W["lev"][0] if p & 2 else _FS_W["lev"][1]) \
+            + (_FS_W["src"][0] if p & 1 else _FS_W["src"][1])
+    assert w(7) >= _FS_MATCH_T
+    assert w(0) < _FS_POSSIBLE_T
+    # the clerical band is non-empty over the 8 patterns
+    assert any(_FS_POSSIBLE_T <= w(p) < _FS_MATCH_T for p in range(8))
