@@ -713,3 +713,151 @@ FROM pat GROUP BY 1, 2 ORDER BY 1, 2
 
 
 FS_DECISION_SQL = _fs_decision_sql()
+
+
+# ---------------------------------------------------------------------------
+# Mutual-best (reciprocal top-1) one-to-one match census
+# ---------------------------------------------------------------------------
+
+_MB_BUCKET = 8
+_MB_PREFIX = 16
+_MB_MAX_MEMBERS = 40
+_MB_PARTITIONS = 64
+_MB_THRESHOLD = 0.6   # mutual pairs below this JW are not matches
+
+
+def mutual_best_match_census(sf_dir: str, bucket: int = _MB_BUCKET,
+                             prefix_chars: int = _MB_PREFIX,
+                             max_members: int = _MB_MAX_MEMBERS,
+                             threshold: float = _MB_THRESHOLD):
+    """Reciprocal-best one-to-one matching — the classic record-linkage
+    assignment step after pair scoring (the greedy 1:1 constraint of
+    census/Splink-style linkage: a record may match at most one other,
+    so keep a pair only when each side is the other's top-scoring
+    candidate).  Blocks and the Jaro-Winkler channel are the same as
+    the other pair censuses; within a block each record's best
+    counterpart is the ordered-direction argmax (score DESC, then
+    smaller counterpart doc_id — exactly ``ROW_NUMBER`` in the oracle),
+    and a pair survives iff best(a) = b AND best(b) = a AND the a<b
+    direction's score >= ``threshold``.  Output: the floor(sim*20)
+    bucket histogram over surviving mutual pairs.
+
+    Scale shape: each document lives in exactly ONE equality block, so
+    the per-record argmax is block-local — the whole operator is ONE
+    hash-partition exchange on the block key, ordered pairs generated
+    and scored batch-vectorised inside the partition (both directions,
+    mirroring the oracle's asymmetric scan), only (bucket, count)
+    partials leave.  Reference analogue: kawa keeps one synonym target
+    per surface in the word2ner fix cascade (word2ner_fix.py's
+    best-candidate selection); here the decision is the symmetric
+    reciprocal-best rule of the ER literature."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text", "n_chars"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="str"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "p": pd.Series([], dtype="str")})
+        return pd.DataFrame({
+            "k": df["lang"].fillna("") + "|"
+            + (df["n_chars"].astype("int64") // bucket).astype(str),
+            "doc_id": df["doc_id"].astype("int64"),
+            "p": df["text"].fillna("").str.slice(0, prefix_chars),
+        })
+
+    thr = np.float64(threshold)
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["k"].to_numpy(), kind="stable")
+        k = g["k"].to_numpy()[order]
+        did = g["doc_id"].to_numpy()[order]
+        ps = g["p"].to_numpy()[order]
+        aid_l: list[np.ndarray] = []
+        bid_l: list[np.ndarray] = []
+        pa_b: list[bytes] = []
+        pb_b: list[bytes] = []
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        for i, j in zip(starts, ends):
+            m = j - i
+            if m < 2 or m > max_members:
+                continue
+            mem = sorted(zip(did[i:j].tolist(), ps[i:j].tolist()))
+            ids = np.asarray([d for d, _ in mem], dtype=np.int64)
+            enc = [p.encode("utf-8") for _, p in mem]
+            # ordered pairs (x != y), mirroring the oracle's scan
+            ia, ib = np.nonzero(~np.eye(m, dtype=bool))
+            aid_l.append(ids[ia])
+            bid_l.append(ids[ib])
+            pa_b.extend(enc[x] for x in ia)
+            pb_b.extend(enc[y] for y in ib)
+        if not pa_b:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        aid = np.concatenate(aid_l)
+        bid = np.concatenate(bid_l)
+        s = jw_bytes_batch(pa_b, pb_b)
+        # per-record best: score DESC, counterpart doc_id ASC (doc_ids
+        # are globally unique and blocks never share a doc, so the
+        # argmax groups by aid alone across the whole partition)
+        o = np.lexsort((bid, -s, aid))
+        a_sorted = aid[o]
+        first = np.concatenate(([True], a_sorted[1:] != a_sorted[:-1]))
+        best = pd.Series(bid[o][first], index=a_sorted[first])
+        sel = aid < bid
+        a_s, b_s, s_s = aid[sel], bid[sel], s[sel]
+        ok = ((best.reindex(a_s).to_numpy() == b_s)
+              & (best.reindex(b_s).to_numpy() == a_s)
+              & (s_s >= thr))
+        if not ok.any():
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        vals, cnts = np.unique(
+            np.floor(s_s[ok] * 20.0).astype(np.int64), return_counts=True)
+        return pd.DataFrame({"bucket": vals.astype("int64"),
+                             "n_pairs": cnts.astype("int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(
+            docs.map_batches(keyed, batch_format="pandas"), "k", score_part,
+            partitions=_MB_PARTITIONS).iter_batches(batch_format="pandas"):
+        for bv, nv in zip(batch["bucket"], batch["n_pairs"]):
+            acc[int(bv)] = acc.get(int(bv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()), columns=["bucket", "n_pairs"])
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _mutual_best_sql(bucket: int = _MB_BUCKET,
+                     prefix_chars: int = _MB_PREFIX,
+                     max_members: int = _MB_MAX_MEMBERS,
+                     threshold: float = _MB_THRESHOLD) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, {prefix_chars}) AS p,
+         lang || '|' || CAST(n_chars // {bucket} AS VARCHAR) AS k
+  FROM documents),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY k) AS m FROM keyed),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         jaro_winkler_similarity(a.p, b.p) AS s
+  FROM sized a JOIN sized b ON a.k = b.k AND a.doc_id <> b.doc_id
+  WHERE a.m BETWEEN 2 AND {max_members}),
+best AS (
+  SELECT a, b, s,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY s DESC, b ASC) AS rn
+  FROM pairs),
+mut AS (
+  SELECT x.a, x.b, x.s
+  FROM best x JOIN best y ON y.a = x.b AND y.b = x.a
+  WHERE x.rn = 1 AND y.rn = 1 AND x.a < x.b
+        AND x.s >= CAST({threshold} AS DOUBLE))
+SELECT CAST(FLOOR(s * 20.0) AS BIGINT) AS bucket, COUNT(*) AS n_pairs
+FROM mut GROUP BY 1 ORDER BY 1
+"""
+
+
+MUTUAL_BEST_SQL = _mutual_best_sql()

@@ -311,6 +311,47 @@ def test_fs_decision_census_matches_duckdb(ray_session, tmp_path, n, seed):
     pd.testing.assert_frame_equal(got, want)
 
 
+@pytest.mark.parametrize("n,seed", [(0, 61), (1, 62), (60, 63), (60, 64)])
+def test_mutual_best_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    import duckdb
+
+    from kawa_ray.pipelines.pairscore import (
+        MUTUAL_BEST_SQL,
+        mutual_best_match_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=6)
+    got = mutual_best_match_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(MUTUAL_BEST_SQL).df() \
+        .astype({"bucket": "int64", "n_pairs": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mutual_best_is_one_to_one(ray_session, tmp_path):
+    # a chain a~b~c where b is both a's and c's best can yield at most
+    # ONE mutual pair containing b — the 1:1 constraint by construction
+    texts = ["hello world xx", "hello world xy", "hello world yy",
+             "zq zq zq zq zq"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 4,
+        "n_chars": pd.Series([14] * 4, dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    from kawa_ray.pipelines.pairscore import mutual_best_match_census
+
+    got = mutual_best_match_census(str(tmp_path))
+    # 4 docs -> at most 2 mutual pairs under the 1:1 constraint
+    assert int(got["n_pairs"].sum()) <= 2
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
