@@ -861,3 +861,166 @@ FROM mut GROUP BY 1 ORDER BY 1
 
 
 MUTUAL_BEST_SQL = _mutual_best_sql()
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan hybrid token similarity census
+# ---------------------------------------------------------------------------
+
+_ME_BUCKET = 8
+_ME_TOKENS = 5        # first K tokens per document enter the score
+_ME_MAX_MEMBERS = 40
+_ME_PARTITIONS = 64
+_ME_SCALE = 1_000_000  # per-token JW in integer micro-units
+
+
+def monge_elkan_pairs_census(sf_dir: str, bucket: int = _ME_BUCKET,
+                             k_tokens: int = _ME_TOKENS,
+                             max_members: int = _ME_MAX_MEMBERS):
+    """Monge-Elkan hybrid similarity (Monge & Elkan 1996) — the classic
+    token-level/character-level hybrid for multi-word names:
+    ``ME(a,b) = mean_i max_j JW(a_i, b_j)`` over the first K whitespace
+    tokens, with the bit-exact Jaro-Winkler kernel inside.  ME is
+    asymmetric; the scored direction is pinned to a = smaller doc_id
+    (the oracle's ``a.doc_id < b.doc_id``).  Exactness: each token-pair
+    JW is floored to integer micro-units FIRST (floor is monotonic, so
+    ``max`` commutes), the per-token maxima sum as integers, and the
+    bucket is the pure-integer ``(sum * 20) // (1e6 * n_tokens_a)`` —
+    no float mean ever happens, so op and oracle can never drift.
+    Documents with zero tokens never enter a block (the tfidf-census
+    convention).  Output: (bucket, n_pairs) histogram.
+
+    Scale shape: ONE hash-partition exchange on the cheap equality
+    block key; the <= K*K token-pair fan-out per pair is generated and
+    scored batch-vectorised inside the partition (maximum.reduceat on
+    the (pair, i) run boundaries), only histogram partials leave."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text", "n_chars"])
+
+    _ws = _WS
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_id, out_t = [], [], []
+        for did, lang, text, nch in zip(
+                df["doc_id"], df["lang"], df["text"].fillna(""),
+                df["n_chars"]):
+            toks = (_ws.split(text.lower().strip())[:k_tokens]
+                    if text.strip() else [])
+            if not toks:
+                continue
+            out_k.append(f"{lang if lang is not None else ''}|"
+                         f"{int(nch) // bucket}")
+            out_id.append(int(did))
+            out_t.append("\x1f".join(toks))
+        return pd.DataFrame({
+            "k": pd.Series(out_k, dtype="str"),
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "t": pd.Series(out_t, dtype="str"),
+        })
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["k"].to_numpy(), kind="stable")
+        k = g["k"].to_numpy()[order]
+        did = g["doc_id"].to_numpy()[order]
+        ts = g["t"].to_numpy()[order]
+        pa_b: list[bytes] = []
+        pb_b: list[bytes] = []
+        pid_l: list[int] = []
+        ii_l: list[int] = []
+        na_l: list[int] = []      # n_tokens_a per pair ordinal
+        npair = 0
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        for i, j in zip(starts, ends):
+            m = j - i
+            if m < 2 or m > max_members:
+                continue
+            mem = sorted(zip(did[i:j].tolist(), ts[i:j].tolist()))
+            toks = [[w.encode("utf-8") for w in t.split("\x1f")]
+                    for _, t in mem]
+            for x in range(m - 1):
+                ta = toks[x]
+                for y in range(x + 1, m):
+                    tb = toks[y]
+                    for ii, wa in enumerate(ta):
+                        for wb in tb:
+                            pa_b.append(wa)
+                            pb_b.append(wb)
+                            pid_l.append(npair)
+                            ii_l.append(ii)
+                    na_l.append(len(ta))
+                    npair += 1
+        if not pa_b:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        w = np.floor(jw_bytes_batch(pa_b, pb_b)
+                     * float(_ME_SCALE)).astype(np.int64)
+        pid = np.asarray(pid_l, dtype=np.int64)
+        ii = np.asarray(ii_l, dtype=np.int64)
+        # rows are emitted sorted by (pid, ii, j) — reduce on run starts
+        key_change = np.concatenate(
+            ([True], (pid[1:] != pid[:-1]) | (ii[1:] != ii[:-1])))
+        run_starts = np.flatnonzero(key_change)
+        mx = np.maximum.reduceat(w, run_starts)
+        mx_pid = pid[run_starts]
+        pair_starts = np.flatnonzero(
+            np.concatenate(([True], mx_pid[1:] != mx_pid[:-1])))
+        sums = np.add.reduceat(mx, pair_starts)
+        na = np.asarray(na_l, dtype=np.int64)[mx_pid[pair_starts]]
+        buckets = (sums * 20) // (_ME_SCALE * na)
+        vals, cnts = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"bucket": vals.astype("int64"),
+                             "n_pairs": cnts.astype("int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(
+            docs.map_batches(keyed, batch_format="pandas"), "k", score_part,
+            partitions=_ME_PARTITIONS).iter_batches(batch_format="pandas"):
+        for bv, nv in zip(batch["bucket"], batch["n_pairs"]):
+            acc[int(bv)] = acc.get(int(bv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()), columns=["bucket", "n_pairs"])
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _monge_elkan_sql(bucket: int = _ME_BUCKET,
+                     k_tokens: int = _ME_TOKENS,
+                     max_members: int = _ME_MAX_MEMBERS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+                ELSE list_slice(regexp_split_to_array(
+                       LOWER(TRIM(text, ' \t\n\r')), '\\s+'), 1, {k_tokens})
+                END AS t
+    FROM documents) q
+  WHERE LEN(t) > 0),
+tu AS (SELECT doc_id, UNNEST(t) AS tok, GENERATE_SUBSCRIPTS(t, 1) AS i
+       FROM toks),
+keyed AS (
+  SELECT d.doc_id,
+         d.lang || '|' || CAST(d.n_chars // {bucket} AS VARCHAR) AS k
+  FROM documents d JOIN toks USING (doc_id)),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY k) AS m FROM keyed),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sized a JOIN sized b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m BETWEEN 2 AND {max_members}),
+mx AS (
+  SELECT p.a, p.b, sa.i,
+         MAX(CAST(FLOOR(jaro_winkler_similarity(sa.tok, sb.tok)
+             * {_ME_SCALE}) AS BIGINT)) AS mx
+  FROM pairs p
+  JOIN tu sa ON sa.doc_id = p.a
+  JOIN tu sb ON sb.doc_id = p.b
+  GROUP BY p.a, p.b, sa.i),
+me AS (SELECT a, b, SUM(mx) AS s, COUNT(*) AS na FROM mx GROUP BY a, b)
+SELECT CAST((s * 20) // ({_ME_SCALE} * na) AS BIGINT) AS bucket,
+       COUNT(*) AS n_pairs
+FROM me GROUP BY 1 ORDER BY 1
+"""
+
+
+MONGE_ELKAN_SQL = _monge_elkan_sql()

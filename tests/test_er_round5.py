@@ -352,6 +352,46 @@ def test_mutual_best_is_one_to_one(ray_session, tmp_path):
     assert int(got["n_pairs"].sum()) <= 2
 
 
+@pytest.mark.parametrize("n,seed", [(0, 71), (1, 72), (50, 73), (50, 74)])
+def test_monge_elkan_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    import duckdb
+
+    from kawa_ray.pipelines.pairscore import (
+        MONGE_ELKAN_SQL,
+        monge_elkan_pairs_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=6)
+    got = monge_elkan_pairs_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(MONGE_ELKAN_SQL).df() \
+        .astype({"bucket": "int64", "n_pairs": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_monge_elkan_identical_docs_bucket_20(ray_session, tmp_path):
+    texts = ["john smith", "john smith", "mary jones zzz"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 3,
+        "n_chars": pd.Series([10, 10, 14], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    from kawa_ray.pipelines.pairscore import monge_elkan_pairs_census
+
+    got = monge_elkan_pairs_census(str(tmp_path))
+    # identical token lists -> every per-token max is exactly 1.0 ->
+    # the integer bucket is exactly 20
+    assert 20 in set(got["bucket"]) and int(
+        got.loc[got["bucket"] == 20, "n_pairs"].iloc[0]) == 1
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
