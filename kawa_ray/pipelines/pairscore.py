@@ -1024,3 +1024,146 @@ FROM me GROUP BY 1 ORDER BY 1
 
 
 MONGE_ELKAN_SQL = _monge_elkan_sql()
+
+
+# ---------------------------------------------------------------------------
+# Containment / overlap-coefficient pair census
+# ---------------------------------------------------------------------------
+
+_CT_BUCKET = 8
+_CT_MAX_MEMBERS = 40
+_CT_PARTITIONS = 64
+
+
+def containment_pairs_census(sf_dir: str, bucket: int = _CT_BUCKET,
+                             max_members: int = _CT_MAX_MEMBERS):
+    """Token-set containment census — the near-containment signal a
+    Jaccard dedup misses: a short doc fully quoted inside a long one
+    scores low Jaccard but containment 1.0 (the boilerplate/quote
+    detector of Lee et al.-style dedup suites).  Scored as the
+    symmetric overlap coefficient ``|A ∩ B| / min(|A|, |B|)``
+    (Szymkiewicz-Simpson), bucketed by pure-integer
+    ``(inter * 20) // min(na, nb)`` so the oracle is exact.  Token
+    sets are distinct md5-low64 word hashes (the tfidf-census
+    tokenizer); zero-token documents never enter a block.  Output:
+    (bucket, n_pairs) histogram over the cheap equality blocks.
+
+    Scale shape: tokenization and hashing are doc-local (NO df
+    exchange — unlike tfidf, containment needs no global weights), so
+    the operator is ONE hash-partition exchange on the block key with
+    each doc carrying its sorted hash array (the setsim gram-carry
+    idiom; hashes, never text); intersections are sorted-array
+    searchsorted inside the partition and only histogram partials
+    leave.  Blocks above the cap drop whole, mirrored in the oracle."""
+    from kawa_ray.functions.minhash import md5_low64_per_doc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text", "n_chars"])
+
+    _ws = _WS
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        def per_doc():
+            for text in df["text"].fillna(""):
+                yield (_ws.split(text.lower().strip())
+                       if text.strip() else [])
+
+        out_k, out_id, out_h = [], [], []
+        for did, lang, nch, hs in zip(df["doc_id"], df["lang"],
+                                      df["n_chars"],
+                                      md5_low64_per_doc(per_doc())):
+            uh = np.unique(hs)
+            if uh.size == 0:
+                continue
+            out_k.append(f"{lang if lang is not None else ''}|"
+                         f"{int(nch) // bucket}")
+            out_id.append(int(did))
+            out_h.append(uh)
+        return pd.DataFrame({
+            "k": pd.Series(out_k, dtype="str"),
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "h": pd.Series(out_h, dtype="object"),
+        })
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["k"].to_numpy(), kind="stable")
+        k = g["k"].to_numpy()[order]
+        did = g["doc_id"].to_numpy()[order]
+        hs = g["h"].to_numpy()[order]
+        out: dict[int, int] = {}
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        for i, j in zip(starts, ends):
+            m = j - i
+            if m < 2 or m > max_members:
+                continue
+            mem = sorted(zip(did[i:j].tolist(), hs[i:j]))
+            for x in range(m - 1):
+                ha = np.asarray(mem[x][1])
+                na = ha.size
+                for y in range(x + 1, m):
+                    hb = np.asarray(mem[y][1])
+                    idx = np.searchsorted(ha, hb)
+                    idx[idx >= na] = 0
+                    inter = int((ha[idx] == hb).sum())
+                    bkt = (inter * 20) // min(na, hb.size)
+                    out[bkt] = out.get(bkt, 0) + 1
+        if not out:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        items = sorted(out.items())
+        return pd.DataFrame({
+            "bucket": pd.Series([b for b, _ in items], dtype="int64"),
+            "n_pairs": pd.Series([n for _, n in items], dtype="int64")})
+
+    acc: dict[int, int] = {}
+    for batch in partition_reduce(
+            docs.map_batches(keyed, batch_format="pandas"), "k", score_part,
+            partitions=_CT_PARTITIONS).iter_batches(batch_format="pandas"):
+        for bv, nv in zip(batch["bucket"], batch["n_pairs"]):
+            acc[int(bv)] = acc.get(int(bv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()), columns=["bucket", "n_pairs"])
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _containment_sql(bucket: int = _CT_BUCKET,
+                     max_members: int = _CT_MAX_MEMBERS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(text, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM documents),
+gh AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS th
+       FROM (SELECT doc_id, UNNEST(t) AS g FROM toks) q),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+keyed AS (
+  SELECT d.doc_id,
+         d.lang || '|' || CAST(d.n_chars // {bucket} AS VARCHAR) AS k
+  FROM documents d JOIN sz ON sz.doc_id = d.doc_id),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY k) AS m FROM keyed),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sized a JOIN sized b ON a.k = b.k AND a.doc_id < b.doc_id
+  WHERE a.m BETWEEN 2 AND {max_members}),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS i
+  FROM pairs p
+  JOIN gh ga ON ga.doc_id = p.a
+  JOIN gh gb ON gb.doc_id = p.b AND gb.th = ga.th
+  GROUP BY p.a, p.b),
+sc AS (
+  SELECT CAST((COALESCE(n.i, 0) * 20) // LEAST(sa.n, sb.n) AS BIGINT)
+         AS bucket
+  FROM pairs p
+  LEFT JOIN inter n ON n.a = p.a AND n.b = p.b
+  JOIN sz sa ON sa.doc_id = p.a
+  JOIN sz sb ON sb.doc_id = p.b)
+SELECT bucket, COUNT(*) AS n_pairs FROM sc GROUP BY bucket ORDER BY bucket
+"""
+
+
+CONTAINMENT_SQL = _containment_sql()

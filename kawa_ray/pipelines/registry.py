@@ -238,6 +238,8 @@ EXTRA_QUERIES = {
     "mutual_best_match_census": pairscore.mutual_best_match_census,
     # Monge-Elkan hybrid token similarity (integer-exact mean-of-max JW)
     "monge_elkan_pairs_census": pairscore.monge_elkan_pairs_census,
+    # overlap-coefficient near-containment (the quote/boilerplate signal)
+    "containment_pairs_census": pairscore.containment_pairs_census,
     "block_cleaning_census": blocking_ops.block_cleaning_census,
     "phonetic_blocking_census": blocking_ops.phonetic_blocking_census,
     # round-5 window swap demotions (still oracle-checked here)
@@ -362,6 +364,7 @@ EXTRA_ORACLE_SQL = {
     "fs_decision_census": pairscore.FS_DECISION_SQL,
     "mutual_best_match_census": pairscore.MUTUAL_BEST_SQL,
     "monge_elkan_pairs_census": pairscore.MONGE_ELKAN_SQL,
+    "containment_pairs_census": pairscore.CONTAINMENT_SQL,
     "block_cleaning_census": blocking_ops.BLOCK_CLEANING_SQL,
     "phonetic_blocking_census": blocking_ops.PHONETIC_BLOCKING_SQL,
     "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,

@@ -392,6 +392,45 @@ def test_monge_elkan_identical_docs_bucket_20(ray_session, tmp_path):
         got.loc[got["bucket"] == 20, "n_pairs"].iloc[0]) == 1
 
 
+@pytest.mark.parametrize("n,seed", [(0, 81), (1, 82), (50, 83), (50, 84)])
+def test_containment_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    import duckdb
+
+    from kawa_ray.pipelines.pairscore import (
+        CONTAINMENT_SQL,
+        containment_pairs_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=6)
+    got = containment_pairs_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(CONTAINMENT_SQL).df() \
+        .astype({"bucket": "int64", "n_pairs": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_containment_detects_full_quote(ray_session, tmp_path):
+    # a short doc fully contained in a long one: Jaccard is low (2/6)
+    # but containment is exactly 1.0 -> bucket 20
+    texts = ["alpha beta", "alpha beta gamma delta epsilon zeta"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2], dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 2,
+        "n_chars": pd.Series([10, 12], dtype="int64"),  # same block
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    from kawa_ray.pipelines.pairscore import containment_pairs_census
+
+    got = containment_pairs_census(str(tmp_path))
+    assert got.to_dict("records") == [{"bucket": 20, "n_pairs": 1}]
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
