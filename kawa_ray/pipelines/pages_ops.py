@@ -560,3 +560,135 @@ FROM d GROUP BY lang ORDER BY lang
 
 
 URL_FILTER_CENSUS_SQL = _url_filter_sql()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup census
+# ---------------------------------------------------------------------------
+
+# rule order matters and is identical op-side and oracle-side:
+# fragment -> utm params -> dangling-& fix -> default ports ->
+# lowercase scheme+host -> trailing slash.  Every pattern is RE2-safe
+# (no lookaround — DuckDB's regexp engine) and each is either anchored
+# (max one match, so pandas' replace-all == DuckDB's default
+# first-match) or explicitly global on BOTH sides (the utm rule).
+_URL_CANON_RULES: list[tuple[str, str]] = [
+    (r"#.*$", ""),                                   # strip fragment
+    (r"[?&]utm_[^&#]*", ""),                         # strip utm_* params (global)
+    (r"^([^?&]*)&", r"\1?"),                         # re-anchor first param
+    (r"^(http://[^/?#]*):80([/?#].*)?$", r"\1\2"),   # default http port
+    (r"^(https://[^/?#]*):443([/?#].*)?$", r"\1\2"),  # default https port
+]
+_URL_SCHEME_HOST_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)(.*)$"
+_URL_TRAILING_SLASH = (r"/+$", "")
+
+
+def canonicalize_urls(s: pd.Series) -> pd.Series:
+    """Vectorised URL canonicalization, byte-identical to the SQL
+    chain in ``_url_canon_ctes`` (pandas replaces all occurrences; all
+    rules but the utm one are anchored so that equals DuckDB's
+    first-match default, and the utm rule is 'g' in SQL)."""
+    u = s.fillna("")
+    for pat, rep in _URL_CANON_RULES:
+        u = u.str.replace(pat, rep, regex=True)
+    m = u.str.extract(_URL_SCHEME_HOST_RE, expand=True)
+    hit = m[0].notna()
+    u = u.where(~hit, m[0].str.lower() + m[1])
+    return u.str.replace(*_URL_TRAILING_SLASH, regex=True)
+
+
+def url_canonicalize_census(sf_dir: str) -> pd.DataFrame:
+    """Canonical-URL dedup census — the crawl-side exact-dup pass that
+    runs BEFORE any content hashing (CommonCrawl/RefinedWeb keep one
+    fetch per canonical URL): strip fragments and utm_* tracking
+    params, drop default ports, lowercase scheme+host, trim trailing
+    slashes, then count how many distinct raw URLs collapse per lang.
+    -> per-lang (n_pages, n_raw, n_canonical); n_raw - n_canonical is
+    the dup mass canonicalization reveals.
+
+    Scale shape: canonicalization is a per-batch vectorised regex
+    chain; the census is ONE hash-partition exchange keyed on the
+    canonical string — every raw spelling of a URL maps to the same
+    canonical value, so both distinct counts are partition-local and
+    only per-lang partials leave.  The fixture corpus's synthetic URLs
+    are already canonical (n_raw == n_canonical — the oracle pins
+    that); the messy-URL rules are pinned by adversarial fixtures in
+    tests/test_er_round5.py."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def canon_rows(t: pa.Table) -> pd.DataFrame:
+        urls = pd.Series(t.column("url").to_pylist(), dtype="str")
+        return pd.DataFrame({
+            "lang": pd.Series(t.column("lang").to_pylist(), dtype="str"),
+            "url": urls,
+            "canon": canonicalize_urls(urls),
+        })
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("lang", as_index=False)
+               .agg(n_pages=("url", "size"),
+                    n_raw=("url", "nunique"),
+                    n_canonical=("canon", "nunique")))
+        for c in ("n_pages", "n_raw", "n_canonical"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    acc: dict[str, list[int]] = {}
+    for b in partition_reduce(
+            _read(sf_dir, ["url", "lang"])
+            .map_batches(canon_rows, batch_format="pyarrow"),
+            "canon", census_part, partitions=64) \
+            .iter_batches(batch_format="pandas"):
+        for lang, np_, nr, nc in zip(b["lang"], b["n_pages"], b["n_raw"],
+                                     b["n_canonical"]):
+            cur = acc.setdefault(str(lang), [0, 0, 0])
+            cur[0] += int(np_)
+            cur[1] += int(nr)
+            cur[2] += int(nc)
+    out = pd.DataFrame(
+        [(lang, v[0], v[1], v[2]) for lang, v in sorted(acc.items())],
+        columns=["lang", "n_pages", "n_raw", "n_canonical"])
+    for c in ("n_pages", "n_raw", "n_canonical"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _url_canon_ctes(src: str) -> str:
+    """The canonicalization chain as CTEs over ``src`` (a FROM-able
+    producing url, lang) — shared by the EXTRA oracle and the
+    adversarial tests."""
+    return f"""
+c0 AS (SELECT lang, url, regexp_replace(url, '#.*$', '') AS u FROM {src}),
+c1 AS (SELECT lang, url,
+              regexp_replace(u, '[?&]utm_[^&#]*', '', 'g') AS u FROM c0),
+c2 AS (SELECT lang, url,
+              regexp_replace(u, '^([^?&]*)&', '\\1?') AS u FROM c1),
+c3 AS (SELECT lang, url,
+              regexp_replace(u, '^(http://[^/?#]*):80([/?#].*)?$',
+                             '\\1\\2') AS u FROM c2),
+c4 AS (SELECT lang, url,
+              regexp_replace(u, '^(https://[^/?#]*):443([/?#].*)?$',
+                             '\\1\\2') AS u FROM c3),
+c5 AS (SELECT lang, url,
+              CASE WHEN regexp_extract(u,
+                     '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$', 1) <> ''
+                   THEN LOWER(regexp_extract(u,
+                     '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$', 1))
+                     || regexp_extract(u,
+                     '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$', 2)
+                   ELSE u END AS u FROM c4),
+c6 AS (SELECT lang, url, regexp_replace(u, '/+$', '') AS u FROM c5)"""
+
+
+def url_canonicalize_sql(path: str) -> str:
+    return f"""
+WITH pages AS (SELECT url, lang FROM read_parquet('{path}')),
+{_url_canon_ctes('pages')}
+SELECT lang, COUNT(*) AS n_pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_canonical
+FROM c6 GROUP BY lang ORDER BY lang
+"""
+
+
+URL_CANONICALIZE_SQL = url_canonicalize_sql(_pages_path_sql())

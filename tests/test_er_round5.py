@@ -431,6 +431,67 @@ def test_containment_detects_full_quote(ray_session, tmp_path):
     assert got.to_dict("records") == [{"bucket": 20, "n_pairs": 1}]
 
 
+def test_url_canonicalize_kernel_matches_duckdb(tmp_path):
+    import duckdb
+
+    from kawa_ray.pipelines.pages_ops import (
+        _url_canon_ctes,
+        canonicalize_urls,
+    )
+
+    urls = [
+        "https://Example.COM/path#frag",
+        "http://example.com:80/a/b/",
+        "https://example.com:443/x?utm_source=tw&q=1",
+        "https://example.com/x?utm_source=tw",
+        "https://example.com/x?utm_a=1&utm_b=2",
+        "https://example.com/x?a=1&utm_mid=3&b=2",
+        "HTTPS://WWW.Example.com:443/Deep/Path///",
+        "http://example.com:8080/keep-port",
+        "ftp://Mixed.Case.Host/file",
+        "no-scheme/relative/path/",
+        "https://example.com",
+        "https://example.com/",
+        "",
+        "https://example.com/?utm_x#f",
+        "http://h:80",
+    ]
+    rng = random.Random(7)
+    for _ in range(300):
+        host = "".join(rng.choice("aBcD.") for _ in range(rng.randint(1, 8)))
+        path = "".join(rng.choice("/xY?&=#_utm_s80") for _ in
+                       range(rng.randint(0, 16)))
+        urls.append(f"{rng.choice(['http', 'https', 'HTTP'])}://{host}{path}")
+    df = pd.DataFrame({"url": urls, "lang": ["en"] * len(urls)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "u.parquet"))
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"WITH pages AS (SELECT url, lang FROM "
+        f"read_parquet('{tmp_path}/u.parquet')),"
+        f"{_url_canon_ctes('pages')}"
+        f"SELECT DISTINCT url, u FROM c6"
+    ).fetchall())
+    got = canonicalize_urls(pd.Series(urls, dtype="str"))
+    for raw, g in zip(urls, got):
+        assert g == want[raw], \
+            f"{raw!r}: engine {g!r} != duckdb {want[raw]!r}"
+
+
+def test_url_canonicalize_census_counts(ray_session, tmp_path):
+    # three raw spellings of one canonical url + one distinct url
+    from kawa_ray.pipelines.pages_ops import canonicalize_urls
+
+    s = pd.Series([
+        "https://Example.com/a?utm_x=1",
+        "https://example.com/a#frag",
+        "https://example.com:443/a",
+        "https://example.com/b",
+    ])
+    c = canonicalize_urls(s)
+    assert c.nunique() == 2 and c[0] == c[1] == c[2] == "https://example.com/a"
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
