@@ -666,6 +666,57 @@ MULTIRULE_CLUSTER_SQL = _multirule_cluster_sql()
 # ---------------------------------------------------------------------------
 
 
+def _multirule_closure_labels(sf_dir: str, num_perm: int, bands: int,
+                              max_members: int):
+    """Multi-rule pair union -> distinct edges -> transitive-closure
+    labels as a (doc_id, lbl) Dataset, or None when the blocking graph
+    is empty.  The tiering is the cluster census's: driver union-find
+    below the edge threshold, broadcast label propagation in the mid
+    regime, bucketed pointer-jump LP beyond the broadcast ceiling.
+    Label VALUES differ between tiers (string-min vs int-min) but the
+    partition they induce is identical (tier-equivalence tests in
+    tests/test_er_round5.py / test_linkage_e2e.py) — consumers must
+    only ever group by lbl, never interpret it."""
+    from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
+    from kawa_ray.stages.clustering import union_find_components
+
+    tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
+    edges = partition_reduce(
+        tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
+    n_edges = int(edges.count())
+
+    if n_edges == 0:
+        return None
+    if n_edges <= _DRIVER_EDGE_THRESHOLD:
+        edf = edges.to_pandas()
+        groups = union_find_components(
+            zip(edf["a"].astype(str), edf["b"].astype(str)))
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([int(k) for k in groups], dtype="int64"),
+            "lbl": pd.Series(list(groups.values()), dtype="str"),
+        }))
+    from kawa_ray.stages.clustering import (
+        label_propagation_components,
+        label_propagation_components_bucketed,
+    )
+
+    edges_s = edges.map_batches(
+        lambda df: pd.DataFrame({"a": df["a"].astype(str),
+                                 "b": df["b"].astype(str)}),
+        batch_format="pandas")
+    if 2 * n_edges <= _BCAST_NODE_LIMIT:
+        lab = label_propagation_components(edges_s).map_batches(
+            lambda df: df.rename(columns={"label": "lbl"}),
+            batch_format="pandas")
+    else:
+        lab = label_propagation_components_bucketed(edges_s)
+    return lab.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["node"].astype("int64"),
+            "lbl": df["lbl"].astype(str)}),
+        batch_format="pandas")
+
+
 def cluster_survivorship_census(sf_dir: str, num_perm: int = 64,
                                 bands: int = 16,
                                 max_members: int = _MB_MAX_MEMBERS):
@@ -694,46 +745,8 @@ def cluster_survivorship_census(sf_dir: str, num_perm: int = 64,
     census already materializes), never corpus-space.  Singleton census
     = full-corpus census partials minus labeled-doc partials, folded on
     the driver (langs x sources sized)."""
-    from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
-    from kawa_ray.stages.clustering import union_find_components
-
-    tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
-    edges = partition_reduce(
-        tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
-    n_edges = int(edges.count())
-
-    labels_ds = None
-    if n_edges == 0:
-        pass
-    elif n_edges <= _DRIVER_EDGE_THRESHOLD:
-        edf = edges.to_pandas()
-        groups = union_find_components(
-            zip(edf["a"].astype(str), edf["b"].astype(str)))
-        labels_ds = rd.from_pandas(pd.DataFrame({
-            "doc_id": pd.Series([int(k) for k in groups], dtype="int64"),
-            "lbl": pd.Series(list(groups.values()), dtype="str"),
-        }))
-    else:
-        from kawa_ray.stages.clustering import (
-            label_propagation_components,
-            label_propagation_components_bucketed,
-        )
-
-        edges_s = edges.map_batches(
-            lambda df: pd.DataFrame({"a": df["a"].astype(str),
-                                     "b": df["b"].astype(str)}),
-            batch_format="pandas")
-        if 2 * n_edges <= _BCAST_NODE_LIMIT:
-            lab = label_propagation_components(edges_s).map_batches(
-                lambda df: df.rename(columns={"label": "lbl"}),
-                batch_format="pandas")
-        else:
-            lab = label_propagation_components_bucketed(edges_s)
-        labels_ds = lab.map_batches(
-            lambda df: pd.DataFrame({
-                "doc_id": df["node"].astype("int64"),
-                "lbl": df["lbl"].astype(str)}),
-            batch_format="pandas")
+    labels_ds = _multirule_closure_labels(sf_dir, num_perm, bands,
+                                          max_members)
 
     docs = _read_docs(sf_dir, ["doc_id", "lang", "source"])
 
@@ -855,6 +868,159 @@ FROM units GROUP BY lang, source ORDER BY lang, source
 
 
 SURVIVORSHIP_SQL = _survivorship_sql()
+
+
+# ---------------------------------------------------------------------------
+# Adjusted-Rand cluster-agreement census (clustering quality)
+# ---------------------------------------------------------------------------
+
+
+def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                       max_members: int = _MB_MAX_MEMBERS):
+    """Adjusted Rand Index between the multi-rule entity clusters and
+    the exact-duplicate gold partition (md5 of the full text) — the
+    standard clustering-quality diagnostic (Hubert & Arabie 1985; the
+    pair-counting companion of the B³ gate in er_eval): how much
+    structure does NEAR-dup closure add over exact dup?  All four pair
+    counts are exact integers; only the final ARI is a double, with
+    the operation order pinned identically op-side and oracle-side
+    (e = sp*sg/C(n,2); ari = (sb - e) / ((sp+sg)/2 - e); degenerate
+    denominators pin to 1.0).  Output: one row
+    (n_docs, same_both, same_pred, same_gold, ari).
+
+    Scale shape: singleton predicted clusters contribute ZERO to
+    same_both and same_pred (C(1,2)=0), so the contingency table only
+    ever holds LABELED docs — blocking-graph node space, never corpus
+    space.  Three exchanges: the doc_id-hash attach of gold hashes
+    onto labels (the survivorship idiom), the lbl-hash contingency
+    fold, and a glbl-hash fold of gold group sizes over the full
+    corpus stream.  The driver holds four integers."""
+    import hashlib
+
+    labels_ds = _multirule_closure_labels(sf_dir, num_perm, bands,
+                                          max_members)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = int(docs.count())
+
+    def gold_rows(df: pd.DataFrame) -> pd.DataFrame:
+        gl = [hashlib.md5(
+            (t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+            for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "glbl": pd.Series(gl, dtype="str")})
+
+    gold = docs.map_batches(gold_rows, batch_format="pandas")
+
+    # same_gold: C(group,2) summed over exact-text groups, full corpus
+    def gold_part(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("glbl").size().to_numpy("int64")
+        return pd.DataFrame({"s": pd.Series([int((sz * (sz - 1) // 2).sum())],
+                                            dtype="int64")})
+
+    same_gold = 0
+    for b in partition_reduce(gold, "glbl", gold_part) \
+            .iter_batches(batch_format="pandas"):
+        same_gold += int(b["s"].sum())
+
+    same_both = 0
+    same_pred = 0
+    if labels_ds is not None:
+        def g_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(lbl=pd.Series([None] * len(df), dtype="object"))
+
+        def l_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "glbl": pd.Series([None] * len(df),
+                                                   dtype="object"),
+                                 "lbl": df["lbl"].astype(str)})
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["lbl"].notna(), ["doc_id", "lbl"]]
+            gg = g.loc[g["lbl"].isna(), ["doc_id", "glbl"]]
+            return gg.merge(labs, on="doc_id", how="inner")[["lbl", "glbl"]]
+
+        labeled = partition_reduce(
+            gold.map_batches(g_rows, batch_format="pandas")
+            .union(labels_ds.map_batches(l_rows, batch_format="pandas")),
+            "doc_id", attach)
+
+        def cont_part(g: pd.DataFrame) -> pd.DataFrame:
+            nij = g.groupby(["lbl", "glbl"]).size().to_numpy("int64")
+            np_ = g.groupby("lbl").size().to_numpy("int64")
+            return pd.DataFrame({
+                "sb": pd.Series([int((nij * (nij - 1) // 2).sum())],
+                                dtype="int64"),
+                "sp": pd.Series([int((np_ * (np_ - 1) // 2).sum())],
+                                dtype="int64")})
+
+        for b in partition_reduce(labeled, "lbl", cont_part) \
+                .iter_batches(batch_format="pandas"):
+            same_both += int(b["sb"].sum())
+            same_pred += int(b["sp"].sum())
+
+    if n_docs < 2:
+        ari = 1.0
+    else:
+        c2n = n_docs * (n_docs - 1) // 2
+        e = (same_pred * same_gold) / float(c2n)
+        den = (same_pred + same_gold) / 2.0 - e
+        ari = 1.0 if den == 0.0 else (same_both - e) / den
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype="int64"),
+        "same_both": pd.Series([same_both], dtype="int64"),
+        "same_pred": pd.Series([same_pred], dtype="int64"),
+        "same_gold": pd.Series([same_gold], dtype="int64"),
+        "ari": pd.Series([ari], dtype="float64"),
+    })
+
+
+def _cluster_ari_sql(num_perm: int = 64, bands: int = 16,
+                     max_members: int = _MB_MAX_MEMBERS) -> str:
+    return f"""
+WITH RECURSIVE {_multirule_ctes(num_perm, bands, max_members)}
+, up AS (SELECT DISTINCT a, b FROM tagged)
+, nodes AS (SELECT DISTINCT v FROM
+            (SELECT a AS v FROM up UNION ALL SELECT b FROM up) q)
+, bidir AS (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM up UNION ALL SELECT b, a FROM up) q)
+, reach(node, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN bidir e ON e.a = r.node
+  WHERE r.lbl < e.b
+)
+, comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+, gold AS (SELECT doc_id, md5(COALESCE(text, '')) AS glbl FROM documents)
+, lab AS (
+  SELECT c.lbl, g.glbl FROM comp c JOIN gold g ON g.doc_id = c.node)
+, cont AS (SELECT lbl, glbl, COUNT(*) AS nij FROM lab GROUP BY lbl, glbl)
+, sb AS (SELECT COALESCE(SUM(nij * (nij - 1) // 2), 0) AS same_both
+         FROM cont)
+, sp AS (SELECT COALESCE(SUM(np * (np - 1) // 2), 0) AS same_pred
+         FROM (SELECT SUM(nij) AS np FROM cont GROUP BY lbl) q)
+, sg AS (SELECT COALESCE(SUM(ng * (ng - 1) // 2), 0) AS same_gold
+         FROM (SELECT COUNT(*) AS ng FROM gold GROUP BY glbl) q)
+, nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(same_both AS BIGINT) AS same_both,
+       CAST(same_pred AS BIGINT) AS same_pred,
+       CAST(same_gold AS BIGINT) AS same_gold,
+       CASE WHEN n_docs < 2 THEN 1.0
+            WHEN (CAST(same_pred + same_gold AS DOUBLE) / 2.0
+                  - CAST(same_pred AS DOUBLE) * same_gold
+                    / (n_docs * (n_docs - 1) // 2)) = 0 THEN 1.0
+            ELSE (CAST(same_both AS DOUBLE)
+                  - CAST(same_pred AS DOUBLE) * same_gold
+                    / (n_docs * (n_docs - 1) // 2))
+                 / (CAST(same_pred + same_gold AS DOUBLE) / 2.0
+                    - CAST(same_pred AS DOUBLE) * same_gold
+                      / (n_docs * (n_docs - 1) // 2))
+       END AS ari
+FROM sb, sp, sg, nn
+"""
+
+
+CLUSTER_ARI_SQL = _cluster_ari_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -241,6 +241,8 @@ EXTRA_QUERIES = {
     # overlap-coefficient near-containment (the quote/boilerplate signal)
     "containment_pairs_census": pairscore.containment_pairs_census,
     "block_cleaning_census": blocking_ops.block_cleaning_census,
+    # Adjusted-Rand agreement: multirule clusters vs exact-dup gold
+    "cluster_ari_census": blocking_ops.cluster_ari_census,
     "phonetic_blocking_census": blocking_ops.phonetic_blocking_census,
     # round-5 window swap demotions (still oracle-checked here)
     "minhash_dedup_docs": docs.minhash_dedup_docs,
@@ -369,6 +371,7 @@ EXTRA_ORACLE_SQL = {
     "monge_elkan_pairs_census": pairscore.MONGE_ELKAN_SQL,
     "containment_pairs_census": pairscore.CONTAINMENT_SQL,
     "block_cleaning_census": blocking_ops.BLOCK_CLEANING_SQL,
+    "cluster_ari_census": blocking_ops.CLUSTER_ARI_SQL,
     "phonetic_blocking_census": blocking_ops.PHONETIC_BLOCKING_SQL,
     "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,
     "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,

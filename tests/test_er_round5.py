@@ -492,6 +492,78 @@ def test_url_canonicalize_census_counts(ray_session, tmp_path):
     assert c.nunique() == 2 and c[0] == c[1] == c[2] == "https://example.com/a"
 
 
+@pytest.mark.parametrize("n,seed", [(0, 91), (1, 92), (30, 93)])
+def test_cluster_ari_census_matches_duckdb(ray_session, tmp_path, n, seed):
+    import duckdb
+
+    from kawa_ray.pipelines.blocking_ops import (
+        CLUSTER_ARI_SQL,
+        cluster_ari_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=5)
+    got = cluster_ari_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(CLUSTER_ARI_SQL).df()
+    for c in ("n_docs", "same_both", "same_pred", "same_gold"):
+        want[c] = want[c].astype("int64")
+    got = got.copy()
+    got["ari"] = got["ari"].round(6)
+    want["ari"] = want["ari"].round(6)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cluster_ari_perfect_agreement(ray_session, tmp_path):
+    # exact duplicates only, in DIFFERENT size blocks (lengths 23 vs
+    # 47, size bucket 16) so the size rule cannot bridge the two dup
+    # groups: near-dup closure == exact-dup gold -> ARI exactly 1
+    texts = ["aa bb cc dd ee ff gg hh", "aa bb cc dd ee ff gg hh",
+             "zz yy xx ww vv uu tt ss zz yy xx ww vv uu tt ss",
+             "zz yy xx ww vv uu tt ss zz yy xx ww vv uu tt ss"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 4,
+        "source": ["web"] * 4,
+        "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    from kawa_ray.pipelines.blocking_ops import cluster_ari_census
+
+    got = cluster_ari_census(str(tmp_path))
+    assert got["ari"].iloc[0] == 1.0
+    assert int(got["same_both"].iloc[0]) == 2  # two dup pairs
+
+
+def test_survivorship_unchanged_after_labels_refactor(ray_session,
+                                                      tmp_path):
+    # the shared _multirule_closure_labels helper must reproduce the
+    # pre-refactor survivorship output (pinned by the DuckDB oracle)
+    import duckdb
+
+    from kawa_ray.pipelines.blocking_ops import (
+        SURVIVORSHIP_SQL,
+        cluster_survivorship_census,
+    )
+
+    sf = _word_docs(tmp_path, 40, 17, vocab_size=5)
+    got = cluster_survivorship_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, CAST(source AS VARCHAR) AS source, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(SURVIVORSHIP_SQL).df() \
+        .astype({"n_clusters": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
