@@ -926,13 +926,18 @@ def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
     same_pred = 0
     if labels_ds is not None:
         def g_rows(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(lbl=pd.Series([None] * len(df), dtype="object"))
+            # numpy construction: dict-of-Series ALIGNS on index, and
+            # frames from map_groups/map_batches carry arbitrary indices
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                                 "glbl": df["glbl"].to_numpy(dtype=object),
+                                 "lbl": pd.Series([None] * len(df),
+                                                  dtype="object")})
 
         def l_rows(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
                                  "glbl": pd.Series([None] * len(df),
                                                    dtype="object"),
-                                 "lbl": df["lbl"].astype(str)})
+                                 "lbl": df["lbl"].to_numpy(dtype=object)})
 
         def attach(g: pd.DataFrame) -> pd.DataFrame:
             labs = g.loc[g["lbl"].notna(), ["doc_id", "lbl"]]
@@ -1021,6 +1026,157 @@ FROM sb, sp, sg, nn
 
 
 CLUSTER_ARI_SQL = _cluster_ari_sql()
+
+
+# ---------------------------------------------------------------------------
+# blocking quality census (pair completeness + reduction ratio)
+# ---------------------------------------------------------------------------
+
+
+def blocking_quality_census(sf_dir: str, num_perm: int = 64,
+                            bands: int = 16,
+                            max_members: int = _MB_MAX_MEMBERS):
+    """Blocking evaluation — the two standard candidate-generation
+    metrics (Christen 2012, ch. 4): **pair completeness** (what
+    fraction of true-match pairs survive blocking; the blocking
+    recall) and **reduction ratio** (what fraction of the all-pairs
+    space blocking prunes).  True matches are the exact-duplicate
+    gold pairs (md5 of full text — the same gold as the ARI census);
+    candidates are the DISTINCT multi-rule pair union.  Output: one
+    row (n_docs, n_candidates, n_gold_pairs, n_matched,
+    pair_completeness, reduction_ratio); the two doubles use pinned
+    conventions (PC = 1.0 when there are no gold pairs; RR = 1.0
+    below 2 docs).
+
+    Scale shape: candidate dedup is the cluster census's a-hash
+    exchange; gold-pair counting is a glbl-hash fold of group sizes;
+    the matched count attaches gold hashes to candidate endpoints via
+    TWO doc_id-hash exchanges (a-side then b-side, edge-space rows
+    throughout).  The driver holds four integers."""
+    import hashlib
+
+    tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
+    edges = partition_reduce(
+        tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
+    n_candidates = int(edges.count())
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = int(docs.count())
+
+    def gold_rows(df: pd.DataFrame) -> pd.DataFrame:
+        gl = [hashlib.md5(
+            (t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+            for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "glbl": pd.Series(gl, dtype="str")})
+
+    gold = docs.map_batches(gold_rows, batch_format="pandas")
+
+    def gold_part(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("glbl").size().to_numpy("int64")
+        return pd.DataFrame({"s": pd.Series([int((sz * (sz - 1) // 2).sum())],
+                                            dtype="int64")})
+
+    n_gold_pairs = 0
+    for b in partition_reduce(gold, "glbl", gold_part) \
+            .iter_batches(batch_format="pandas"):
+        n_gold_pairs += int(b["s"].sum())
+
+    n_matched = 0
+    if n_candidates:
+        def edge_rows_a(df: pd.DataFrame) -> pd.DataFrame:
+            # build from numpy: frames out of map_groups carry arbitrary
+            # indices, and dict-of-Series construction ALIGNS on index
+            return pd.DataFrame({"doc_id": df["a"].to_numpy("int64"),
+                                 "b": df["b"].to_numpy("int64"),
+                                 "glbl": pd.Series([None] * len(df),
+                                                   dtype="object")})
+
+        def g_mark(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                                 "b": np.full(len(df), -1, dtype="int64"),
+                                 "glbl": df["glbl"].to_numpy(dtype=object)})
+
+        def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["b"] == -1, ["doc_id", "glbl"]]
+            ee = g.loc[g["b"] != -1, ["doc_id", "b"]]
+            m = ee.merge(labs, on="doc_id", how="inner")
+            return pd.DataFrame({"doc_id": m["b"].to_numpy("int64"),
+                                 "ga": m["glbl"].to_numpy(dtype=object)})
+
+        half = partition_reduce(
+            edges.map_batches(edge_rows_a, batch_format="pandas")
+            .union(gold.map_batches(g_mark, batch_format="pandas")),
+            "doc_id", attach_a)
+
+        def half_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                                 "ga": df["ga"].to_numpy(dtype=object),
+                                 "glbl": pd.Series([None] * len(df),
+                                                   dtype="object")})
+
+        def g_mark2(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                                 "ga": pd.Series([None] * len(df),
+                                                 dtype="object"),
+                                 "glbl": df["glbl"].to_numpy(dtype=object)})
+
+        def attach_b(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["glbl"].notna(), ["doc_id", "glbl"]]
+            ee = g.loc[g["glbl"].isna(), ["doc_id", "ga"]]
+            m = ee.merge(labs, on="doc_id", how="inner")
+            n = int((m["ga"] == m["glbl"]).sum())
+            return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+        for b in partition_reduce(
+                half.map_batches(half_rows, batch_format="pandas")
+                .union(gold.map_batches(g_mark2, batch_format="pandas")),
+                "doc_id", attach_b).iter_batches(batch_format="pandas"):
+            n_matched += int(b["n"].sum())
+
+    pc = 1.0 if n_gold_pairs == 0 else n_matched / n_gold_pairs
+    rr = 1.0 if n_docs < 2 else \
+        1.0 - n_candidates / (n_docs * (n_docs - 1) // 2)
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype="int64"),
+        "n_candidates": pd.Series([n_candidates], dtype="int64"),
+        "n_gold_pairs": pd.Series([n_gold_pairs], dtype="int64"),
+        "n_matched": pd.Series([n_matched], dtype="int64"),
+        "pair_completeness": pd.Series([pc], dtype="float64"),
+        "reduction_ratio": pd.Series([rr], dtype="float64"),
+    })
+
+
+def _blocking_quality_sql(num_perm: int = 64, bands: int = 16,
+                          max_members: int = _MB_MAX_MEMBERS) -> str:
+    return f"""
+WITH RECURSIVE {_multirule_ctes(num_perm, bands, max_members)}
+, up AS (SELECT DISTINCT a, b FROM tagged)
+, gold AS (SELECT doc_id, md5(COALESCE(text, '')) AS glbl FROM documents)
+, cand AS (SELECT COUNT(*) AS n_candidates FROM up)
+, gp AS (SELECT COALESCE(SUM(ng * (ng - 1) // 2), 0) AS n_gold_pairs
+         FROM (SELECT COUNT(*) AS ng FROM gold GROUP BY glbl) q)
+, mt AS (SELECT COUNT(*) AS n_matched
+         FROM up u
+         JOIN gold ga ON ga.doc_id = u.a
+         JOIN gold gb ON gb.doc_id = u.b AND gb.glbl = ga.glbl)
+, nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_gold_pairs AS BIGINT) AS n_gold_pairs,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CASE WHEN n_gold_pairs = 0 THEN 1.0
+            ELSE CAST(n_matched AS DOUBLE) / n_gold_pairs
+       END AS pair_completeness,
+       CASE WHEN n_docs < 2 THEN 1.0
+            ELSE 1.0 - CAST(n_candidates AS DOUBLE)
+                       / (n_docs * (n_docs - 1) // 2)
+       END AS reduction_ratio
+FROM cand, gp, mt, nn
+"""
+
+
+BLOCKING_QUALITY_SQL = _blocking_quality_sql()
 
 
 # ---------------------------------------------------------------------------

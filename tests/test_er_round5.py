@@ -564,6 +564,51 @@ def test_survivorship_unchanged_after_labels_refactor(ray_session,
                                   want.reset_index(drop=True))
 
 
+@pytest.mark.parametrize("n,seed", [(0, 101), (1, 102), (30, 103)])
+def test_blocking_quality_census_matches_duckdb(ray_session, tmp_path, n,
+                                                seed):
+    import duckdb
+
+    from kawa_ray.pipelines.blocking_ops import (
+        BLOCKING_QUALITY_SQL,
+        blocking_quality_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=5)
+    got = blocking_quality_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(BLOCKING_QUALITY_SQL).df()
+    for c in ("n_docs", "n_candidates", "n_gold_pairs", "n_matched"):
+        want[c] = want[c].astype("int64")
+    for c in ("pair_completeness", "reduction_ratio"):
+        got[c] = got[c].round(6)
+        want[c] = want[c].round(6)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_blocking_quality_exact_dups_fully_recalled(ray_session, tmp_path):
+    # exact duplicates share every blocking key, so the multirule union
+    # must recall ALL gold pairs: pair_completeness == 1.0 with gold > 0
+    texts = ["aa bb cc dd ee ff gg hh"] * 3 + ["zz yy xx ww vv uu tt ss"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 4,
+        "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    from kawa_ray.pipelines.blocking_ops import blocking_quality_census
+
+    got = blocking_quality_census(str(tmp_path))
+    assert int(got["n_gold_pairs"].iloc[0]) == 3
+    assert got["pair_completeness"].iloc[0] == 1.0
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
