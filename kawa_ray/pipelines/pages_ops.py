@@ -692,3 +692,266 @@ FROM c6 GROUP BY lang ORDER BY lang
 
 
 URL_CANONICALIZE_SQL = url_canonicalize_sql(_pages_path_sql())
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level MinHash near-dup census (fuzzy boilerplate detection)
+# ---------------------------------------------------------------------------
+
+_PN_PERM = 64
+_PN_BANDS = 16
+_PN_CAP = 200          # per-band-segment member cap
+_PN_T_NUM = 4          # Jaccard threshold 4/5 as exact integers
+_PN_T_DEN = 5
+
+
+def _para_frames(sf_dir: str):
+    """Stream (pid, paragraph) frames: pages split on newline, lines
+    numbered BEFORE the non-empty filter (mirroring the oracle's
+    GENERATE_SUBSCRIPTS over the full split array), pid = the 64-bit
+    md5 of ``url|i`` wrapped into int64 (bijective, so the equality
+    structure matches the oracle's md5_number_lower exactly)."""
+    import numpy as np
+
+    from kawa_ray.functions.minhash import md5_low64
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        out_pid, out_p = [], []
+        for url, text in zip(t.column("url").to_pylist(),
+                             t.column("text").to_pylist()):
+            for i, p in enumerate((text or "").split("\n"), 1):
+                if p.strip(" \t\r") == "":
+                    continue
+                out_pid.append(md5_low64(f"{url}|{i}"))
+                out_p.append(p)
+        pid = np.asarray(out_pid, dtype=np.uint64).view(np.int64) \
+            if out_pid else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"doc_id": pid,
+                             "p": pd.Series(out_p, dtype="str")})
+
+    return _read(sf_dir, ["url", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
+                             bands: int = _PN_BANDS,
+                             max_members: int = _PN_CAP) -> pd.DataFrame:
+    """Fuzzy paragraph dedup — MinHash-LSH at PARAGRAPH granularity:
+    the near-dup analogue of the exact CCNet line dedup
+    (``line_dedup_census``), catching boilerplate that varies by a few
+    tokens per page (dates in footers, templated menus), which exact
+    line hashing misses and whole-document MinHash dilutes.  Pipeline:
+    page -> numbered non-empty lines -> word-3-gram MinHash signature
+    -> banded candidate pairs (per-band-segment caps) -> exact-Jaccard
+    verify at 4/5 with pure-integer comparison.  Output: one row
+    (n_paragraphs, n_candidates, n_neardup).
+
+    Scale shape: the banding pass streams pages and emits only
+    (pid, band) rows; candidate pairs form inside band-hash partitions
+    with per-segment caps (docs._partitioned_band_pairs — pairs never
+    exist as a driver set); gram arrays attach to the surviving
+    candidates via two pid-hash exchanges (candidate-space, recomputed
+    rather than pinned — the pack_sequences convention); only three
+    integers reach the driver."""
+    import numpy as np
+
+    from kawa_ray.functions.minhash import (
+        lsh_band_keys,
+        md5_low64,
+        md5_low64_per_doc,
+        minhash_signature,
+        word_ngrams,
+    )
+    from kawa_ray.pipelines.docs import _WS, _partitioned_band_pairs
+    from kawa_ray.stages.distinct import partition_reduce
+
+    paras = _para_frames(sf_dir)
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_pid, out_band = [], []
+        for pid, p in zip(df["doc_id"], df["p"]):
+            toks = _WS.split(p.lower().strip()) if p.strip() else []
+            sh = word_ngrams(toks, 3)
+            if not sh:
+                continue
+            s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
+            for b in lsh_band_keys(s, bands):
+                out_pid.append(int(pid))
+                out_band.append(b)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_pid, dtype="int64"),
+            "band": pd.Series(out_band, dtype="str")})
+
+    cand = partition_reduce(
+        _partitioned_band_pairs(
+            paras.map_batches(sig_rows, batch_format="pandas"),
+            "band", max_members=max_members),
+        "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
+    n_candidates = int(cand.count())
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        def per_para():
+            for p in df["p"]:
+                toks = _WS.split(p.lower().strip()) if p.strip() else []
+                yield word_ngrams(toks, 3)
+
+        out_pid, out_h = [], []
+        for pid, hs in zip(df["doc_id"], md5_low64_per_doc(per_para())):
+            uh = np.unique(hs)
+            if uh.size == 0:
+                continue
+            out_pid.append(int(pid))
+            # bytes, not ndarray: Ray's pandas block layer converts
+            # object-of-ndarray columns to TensorArrays, which cannot
+            # concat with the None-marker side of the attach union
+            out_h.append(uh.astype(np.uint64).tobytes())
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_pid, dtype="int64"),
+            "h": pd.Series(out_h, dtype="object")})
+
+    grams = paras.map_batches(gram_rows, batch_format="pandas")
+    n_paragraphs = int(grams.count())
+
+    n_neardup = 0
+    if n_candidates:
+        def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["a"].to_numpy("int64"),
+                "b": df["b"].to_numpy("int64"),
+                "h": pd.Series([None] * len(df), dtype="object")})
+
+        def g_mark(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "b": np.full(len(df), 0, dtype="int64"),
+                "h": df["h"].to_numpy(dtype=object)})
+
+        def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["h"].notna(), ["doc_id", "h"]]
+            ee = g.loc[g["h"].isna(), ["doc_id", "b"]]
+            m = ee.merge(labs, on="doc_id", how="inner")
+            return pd.DataFrame({"doc_id": m["b"].to_numpy("int64"),
+                                 "ha": m["h"].to_numpy(dtype=object)})
+
+        half = partition_reduce(
+            cand.map_batches(pair_rows, batch_format="pandas")
+            .union(grams.map_batches(g_mark, batch_format="pandas")),
+            "doc_id", attach_a)
+
+        def half_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "ha": df["ha"].to_numpy(dtype=object),
+                "h": pd.Series([None] * len(df), dtype="object")})
+
+        def g_mark2(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "ha": pd.Series([None] * len(df), dtype="object"),
+                "h": df["h"].to_numpy(dtype=object)})
+
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            labs = g.loc[g["h"].notna(), ["doc_id", "h"]]
+            ee = g.loc[g["ha"].notna(), ["doc_id", "ha"]]
+            m = ee.merge(labs, on="doc_id", how="inner")
+            n = 0
+            for ha, hb in zip(m["ha"], m["h"]):
+                ha = np.frombuffer(ha, dtype=np.uint64)
+                hb = np.frombuffer(hb, dtype=np.uint64)
+                idx = np.searchsorted(ha, hb)
+                idx = np.where(idx >= ha.size, 0, idx)
+                inter = int((ha[idx] == hb).sum())
+                if inter * _PN_T_DEN >= \
+                        (ha.size + hb.size - inter) * _PN_T_NUM:
+                    n += 1
+            return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+        for b in partition_reduce(
+                half.map_batches(half_rows, batch_format="pandas")
+                .union(grams.map_batches(g_mark2, batch_format="pandas")),
+                "doc_id", verify).iter_batches(batch_format="pandas"):
+            n_neardup += int(b["n"].sum())
+
+    return pd.DataFrame({
+        "n_paragraphs": pd.Series([n_paragraphs], dtype="int64"),
+        "n_candidates": pd.Series([n_candidates], dtype="int64"),
+        "n_neardup": pd.Series([n_neardup], dtype="int64"),
+    })
+
+
+def _para_neardup_sql(num_perm: int = _PN_PERM, bands: int = _PN_BANDS,
+                      max_members: int = _PN_CAP) -> str:
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
+
+    a, b = perm_params(num_perm)
+    perm_rows = ",".join(
+        f"({i},{int(ai)},{int(bi)})" for i, (ai, bi) in enumerate(zip(a, b)))
+    rows_per_band = num_perm // bands
+    u64 = 1 << 64
+    return f"""
+WITH perms(i, pa, pb) AS (VALUES {perm_rows})
+, lines AS (
+  SELECT md5_number_lower(url || '|' || CAST(i AS VARCHAR)) AS pid, p
+  FROM (SELECT url,
+               UNNEST(string_split(COALESCE(text, ''), chr(10))) AS p,
+               GENERATE_SUBSCRIPTS(
+                 string_split(COALESCE(text, ''), chr(10)), 1) AS i
+        FROM read_parquet('{_pages_path_sql()}')) q
+  WHERE TRIM(p, ' \t\r') <> '')
+, toks AS (
+  SELECT pid,
+         CASE WHEN TRIM(p, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(LOWER(TRIM(p, ' \t\n\r')), '\\s+')
+              END AS t
+  FROM lines)
+, grams AS (
+  SELECT DISTINCT pid, UNNEST(gs) AS g FROM (
+    SELECT pid,
+           CASE WHEN LEN(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN LEN(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, LEN(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                END AS gs
+    FROM toks) q)
+, gh AS (SELECT DISTINCT pid, md5_number_lower(g) AS th FROM grams)
+, hm AS (SELECT pid, th % {_MERSENNE} AS hm FROM gh)
+, sig AS (
+  SELECT pid, i,
+         MIN(((CAST(pa AS HUGEINT) * hm) % {u64} + pb) % {u64} % {_MERSENNE}) AS v
+  FROM hm CROSS JOIN perms GROUP BY pid, i)
+, bandkeys AS (
+  SELECT pid, i // {rows_per_band} AS band,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sig GROUP BY pid, i // {rows_per_band})
+, bsized AS (
+  SELECT pid, band, bkey,
+         COUNT(*) OVER (PARTITION BY band, bkey) AS m
+  FROM bandkeys)
+, cand AS (
+  SELECT DISTINCT a.pid AS a, b.pid AS b
+  FROM bsized a JOIN bsized b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.pid < b.pid
+  WHERE a.m <= {max_members})
+, gsizes AS (SELECT pid, COUNT(*) AS n FROM gh GROUP BY pid)
+, inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN gh ga ON ga.pid = c.a
+  JOIN gh gb ON gb.pid = c.b AND gb.th = ga.th
+  GROUP BY c.a, c.b)
+, verified AS (
+  SELECT COUNT(*) AS n_neardup
+  FROM cand c
+  JOIN gsizes sa ON sa.pid = c.a
+  JOIN gsizes sb ON sb.pid = c.b
+  LEFT JOIN inter n ON n.a = c.a AND n.b = c.b
+  WHERE COALESCE(n.i, 0) * {_PN_T_DEN}
+        >= (sa.n + sb.n - COALESCE(n.i, 0)) * {_PN_T_NUM})
+SELECT (SELECT COUNT(*) FROM gsizes) AS n_paragraphs,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       CAST(n_neardup AS BIGINT) AS n_neardup
+FROM verified
+"""
+
+
+PARAGRAPH_NEARDUP_SQL = _para_neardup_sql()

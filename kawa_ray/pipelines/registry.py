@@ -268,6 +268,8 @@ EXTRA_QUERIES = {
     "url_filter_census": pages_ops.url_filter_census,
     # canonical-URL exact-dup census (fragment/utm/port/case/slash rules)
     "url_canonicalize_census": pages_ops.url_canonicalize_census,
+    # fuzzy paragraph dedup: MinHash-LSH at paragraph granularity
+    "paragraph_neardup_census": pages_ops.paragraph_neardup_census,
     # CCNet cross-document line (paragraph) dedup — boilerplate removal
     # (stays EXTRA: the pages-table oracles are built against the
     # sf0.001 corpus, the pytest tier's fixed scale; the driver
@@ -339,6 +341,7 @@ EXTRA_ORACLE_SQL = {
     "crawl_hourly_census": pages_ops.CRAWL_HOURLY_CENSUS_SQL,
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "url_canonicalize_census": pages_ops.URL_CANONICALIZE_SQL,
+    "paragraph_neardup_census": pages_ops.PARAGRAPH_NEARDUP_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
     "pii_scrub_census": pages_ops.PII_SCRUB_CENSUS_SQL,
     "cc_prefilter_census": pages_ops.CC_PREFILTER_CENSUS_SQL,
