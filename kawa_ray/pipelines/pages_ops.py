@@ -703,6 +703,7 @@ _PN_BANDS = 16
 _PN_CAP = 200          # per-band-segment member cap
 _PN_T_NUM = 4          # Jaccard threshold 4/5 as exact integers
 _PN_T_DEN = 5
+_PN_SPILL_PAGES = 200_000   # pin the gram stream below, spill above
 
 
 def _para_frames(sf_dir: str):
@@ -755,39 +756,17 @@ def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
     integers reach the driver."""
     import numpy as np
 
-    from kawa_ray.functions.minhash import (
-        lsh_band_keys,
-        md5_low64,
-        md5_low64_per_doc,
-        minhash_signature,
-        word_ngrams,
-    )
+    from kawa_ray.functions.minhash import md5_low64_per_doc, word_ngrams
     from kawa_ray.pipelines.docs import _WS, _partitioned_band_pairs
     from kawa_ray.stages.distinct import partition_reduce
 
     paras = _para_frames(sf_dir)
 
-    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out_pid, out_band = [], []
-        for pid, p in zip(df["doc_id"], df["p"]):
-            toks = _WS.split(p.lower().strip()) if p.strip() else []
-            sh = word_ngrams(toks, 3)
-            if not sh:
-                continue
-            s = minhash_signature(sh, num_perm, hash_fn=md5_low64)
-            for b in lsh_band_keys(s, bands):
-                out_pid.append(int(pid))
-                out_band.append(b)
-        return pd.DataFrame({
-            "doc_id": pd.Series(out_pid, dtype="int64"),
-            "band": pd.Series(out_band, dtype="str")})
+    from kawa_ray.functions.minhash import _MERSENNE, perm_params
 
-    cand = partition_reduce(
-        _partitioned_band_pairs(
-            paras.map_batches(sig_rows, batch_format="pandas"),
-            "band", max_members=max_members),
-        "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
-    n_candidates = int(cand.count())
+    pa_, pb_ = perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
         def per_para():
@@ -810,7 +789,58 @@ def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
             "h": pd.Series(out_h, dtype="object")})
 
     grams = paras.map_batches(gram_rows, batch_format="pandas")
+    # four consumers (count, banding, a-attach, b-attach): pin-or-spill
+    # rather than recompute the tokenize+md5 pass per consumer (the
+    # linkage mention-stream convention — pin in the object store at
+    # fixture scale, stream from per-partition /tmp parquet beyond it)
+    n_pages = int(_read(sf_dir, ["url"]).count())
+    if n_pages <= _PN_SPILL_PAGES:
+        grams = grams.materialize()
+    else:
+        import tempfile
+
+        spill = tempfile.mkdtemp(prefix="para-grams-",
+                                 dir=tempfile.gettempdir())
+        grams.write_parquet(spill)
+        grams = rd.read_parquet(spill)
     n_paragraphs = int(grams.count())
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-vectorised banding FROM the pinned gram bytes (no
+        # second tokenize+md5 pass): signatures via minimum.reduceat
+        # over paragraph boundaries, band keys as a vectorised uint64
+        # polynomial mix of each band's signature rows (equality
+        # structure == the oracle's (band, value-tuple) key, same
+        # 2^-64 collision class as the blake2b band digests the
+        # doc-level family uses) — the per-paragraph Python
+        # minhash_signature loop was 3.4x the whole census's budget
+        uh_list = [np.frombuffer(x, dtype=np.uint64) for x in df["h"]]
+        n = len(uh_list)
+        if n == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "band": pd.Series([], dtype="int64")})
+        sizes = np.fromiter((u.size for u in uh_list), dtype=np.int64,
+                            count=n)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        hm = np.concatenate(uh_list) % np.uint64(_MERSENNE)
+        V = (pa_[:, None] * hm[None, :] + pb_[:, None]) % np.uint64(_MERSENNE)
+        sig = np.minimum.reduceat(V, starts, axis=1)  # (num_perm, n)
+        keys = np.empty((bands, n), dtype=np.uint64)
+        for bi in range(bands):
+            h = np.full(n, bi, dtype=np.uint64)
+            for r in range(rows_per_band):
+                h = h * _MIX + sig[bi * rows_per_band + r]
+            keys[bi] = h
+        pid_arr = df["doc_id"].to_numpy("int64")
+        return pd.DataFrame({
+            "doc_id": np.repeat(pid_arr, bands),
+            "band": keys.T.reshape(-1).view(np.int64)})
+
+    # _partitioned_band_pairs already dedups across bands
+    cand = _partitioned_band_pairs(
+        grams.map_batches(sig_rows, batch_format="pandas"),
+        "band", max_members=max_members).materialize()
+    n_candidates = int(cand.count())
 
     n_neardup = 0
     if n_candidates:
@@ -854,17 +884,30 @@ def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
             labs = g.loc[g["h"].notna(), ["doc_id", "h"]]
             ee = g.loc[g["ha"].notna(), ["doc_id", "ha"]]
             m = ee.merge(labs, on="doc_id", how="inner")
-            n = 0
-            for ha, hb in zip(m["ha"], m["h"]):
-                ha = np.frombuffer(ha, dtype=np.uint64)
-                hb = np.frombuffer(hb, dtype=np.uint64)
-                idx = np.searchsorted(ha, hb)
-                idx = np.where(idx >= ha.size, 0, idx)
-                inter = int((ha[idx] == hb).sum())
-                if inter * _PN_T_DEN >= \
-                        (ha.size + hb.size - inter) * _PN_T_NUM:
-                    n += 1
-            return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+            if m.empty:
+                return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+            # vectorised intersection: both arrays are internally
+            # unique, so |A ∩ B| = adjacent duplicates after a
+            # (pair, value) lexsort of the concatenated streams
+            ha_list = [np.frombuffer(x, dtype=np.uint64) for x in m["ha"]]
+            hb_list = [np.frombuffer(x, dtype=np.uint64) for x in m["h"]]
+            na = np.fromiter((x.size for x in ha_list), dtype=np.int64,
+                             count=len(ha_list))
+            nb = np.fromiter((x.size for x in hb_list), dtype=np.int64,
+                             count=len(hb_list))
+            pid = np.repeat(np.concatenate([np.arange(len(ha_list)),
+                                            np.arange(len(hb_list))]),
+                            np.concatenate([na, nb]))
+            val = np.concatenate(ha_list + hb_list)
+            order = np.lexsort((val, pid))
+            pv, vv = pid[order], val[order]
+            dup = np.concatenate(
+                ([False], (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])))
+            inter = np.bincount(pv[dup], minlength=len(ha_list)) \
+                .astype(np.int64)
+            ok = inter * _PN_T_DEN >= (na + nb - inter) * _PN_T_NUM
+            return pd.DataFrame({"n": pd.Series([int(ok.sum())],
+                                                dtype="int64")})
 
         for b in partition_reduce(
                 half.map_batches(half_rows, batch_format="pandas")
