@@ -667,16 +667,20 @@ MULTIRULE_CLUSTER_SQL = _multirule_cluster_sql()
 
 
 def _multirule_closure_labels(sf_dir: str, num_perm: int, bands: int,
-                              max_members: int):
+                              max_members: int,
+                              with_edges: bool = False):
     """Multi-rule pair union -> distinct edges -> transitive-closure
     labels as a (doc_id, lbl) Dataset, or None when the blocking graph
-    is empty.  The tiering is the cluster census's: driver union-find
-    below the edge threshold, broadcast label propagation in the mid
-    regime, bucketed pointer-jump LP beyond the broadcast ceiling.
-    Label VALUES differ between tiers (string-min vs int-min) but the
-    partition they induce is identical (tier-equivalence tests in
-    tests/test_er_round5.py / test_linkage_e2e.py) — consumers must
-    only ever group by lbl, never interpret it."""
+    is empty.  With ``with_edges`` the return is ``(labels, edges)``
+    (the materialized distinct pair union — census consumers like the
+    density census need both).  The tiering is the cluster census's:
+    driver union-find below the edge threshold, broadcast label
+    propagation in the mid regime, bucketed pointer-jump LP beyond the
+    broadcast ceiling.  Label VALUES differ between tiers (string-min
+    vs int-min) but the partition they induce is identical
+    (tier-equivalence tests in tests/test_er_round5.py /
+    test_linkage_e2e.py) — consumers must only ever group by lbl,
+    never interpret it."""
     from kawa_ray.pipelines.docs import _DRIVER_EDGE_THRESHOLD
     from kawa_ray.stages.clustering import union_find_components
 
@@ -685,16 +689,19 @@ def _multirule_closure_labels(sf_dir: str, num_perm: int, bands: int,
         tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
     n_edges = int(edges.count())
 
+    def ret(labels):
+        return (labels, edges) if with_edges else labels
+
     if n_edges == 0:
-        return None
+        return ret(None)
     if n_edges <= _DRIVER_EDGE_THRESHOLD:
         edf = edges.to_pandas()
         groups = union_find_components(
             zip(edf["a"].astype(str), edf["b"].astype(str)))
-        return rd.from_pandas(pd.DataFrame({
+        return ret(rd.from_pandas(pd.DataFrame({
             "doc_id": pd.Series([int(k) for k in groups], dtype="int64"),
             "lbl": pd.Series(list(groups.values()), dtype="str"),
-        }))
+        })))
     from kawa_ray.stages.clustering import (
         label_propagation_components,
         label_propagation_components_bucketed,
@@ -710,11 +717,11 @@ def _multirule_closure_labels(sf_dir: str, num_perm: int, bands: int,
             batch_format="pandas")
     else:
         lab = label_propagation_components_bucketed(edges_s)
-    return lab.map_batches(
+    return ret(lab.map_batches(
         lambda df: pd.DataFrame({
             "doc_id": df["node"].astype("int64"),
             "lbl": df["lbl"].astype(str)}),
-        batch_format="pandas")
+        batch_format="pandas"))
 
 
 def cluster_survivorship_census(sf_dir: str, num_perm: int = 64,
@@ -1177,6 +1184,117 @@ FROM cand, gp, mt, nn
 
 
 BLOCKING_QUALITY_SQL = _blocking_quality_sql()
+
+
+# ---------------------------------------------------------------------------
+# cluster-density census (Splink-style cluster diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def cluster_density_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                           max_members: int = _MB_MAX_MEMBERS):
+    """Intra-cluster edge density — the standard post-linkage cluster
+    diagnostic (Splink's cluster metrics): for each entity cluster,
+    ``density = n_edges / C(size, 2)``; low-density clusters are the
+    chained false merges a reviewer inspects first.  Clusters are the
+    multi-rule closure; singletons are excluded (density is undefined
+    below 2 nodes).  Buckets are the pure-integer
+    ``(n_edges * 20) // (size * (size - 1))`` (0..10 scale: a complete
+    cluster lands in bucket 10), so the oracle is exact.  Output:
+    (density_bucket, n_clusters) histogram.
+
+    Scale shape: one doc_id-hash exchange attaches the a-endpoint's
+    closure label to each edge (closure guarantees both endpoints
+    share it), then ONE lbl-hash exchange folds edge counts and
+    cluster sizes together (edge-marker rows and label rows ride the
+    same union); only histogram partials reach the driver."""
+    labels_ds, edges = _multirule_closure_labels(
+        sf_dir, num_perm, bands, max_members, with_edges=True)
+    if labels_ds is None:
+        return pd.DataFrame({"density_bucket": pd.Series([], dtype="int64"),
+                             "n_clusters": pd.Series([], dtype="int64")})
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["a"].to_numpy("int64"),
+                             "is_edge": np.ones(len(df), dtype=bool),
+                             "lbl": pd.Series([None] * len(df),
+                                              dtype="object")})
+
+    def lab_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                             "is_edge": np.zeros(len(df), dtype=bool),
+                             "lbl": df["lbl"].to_numpy(dtype=object)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g.loc[~g["is_edge"], ["doc_id", "lbl"]]
+        ee = g.loc[g["is_edge"], ["doc_id"]]
+        m = ee.merge(labs, on="doc_id", how="inner")
+        # edge-count markers and the label rows themselves ride the
+        # SAME downstream lbl exchange (is_edge distinguishes them)
+        return pd.DataFrame({
+            "lbl": np.concatenate([m["lbl"].to_numpy(dtype=object),
+                                   labs["lbl"].to_numpy(dtype=object)]),
+            "is_edge": np.concatenate([np.ones(len(m), dtype=bool),
+                                       np.zeros(len(labs), dtype=bool)]),
+        })
+
+    tagged = partition_reduce(
+        edges.map_batches(edge_rows, batch_format="pandas")
+        .union(labels_ds.map_batches(lab_rows, batch_format="pandas")),
+        "doc_id", attach)
+
+    def density_part(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("lbl")["is_edge"].agg(["sum", "size"])
+        e = per["sum"].to_numpy("int64")
+        size = (per["size"] - per["sum"]).to_numpy("int64")  # label rows
+        ok = size >= 2
+        bkt = (e[ok] * 20) // (size[ok] * (size[ok] - 1))
+        vals, cnts = np.unique(bkt, return_counts=True)
+        return pd.DataFrame({"density_bucket": vals.astype("int64"),
+                             "n_clusters": cnts.astype("int64")})
+
+    acc: dict[int, int] = {}
+    for b in partition_reduce(tagged, "lbl", density_part) \
+            .iter_batches(batch_format="pandas"):
+        for dv, nv in zip(b["density_bucket"], b["n_clusters"]):
+            acc[int(dv)] = acc.get(int(dv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()),
+                       columns=["density_bucket", "n_clusters"])
+    out["density_bucket"] = out["density_bucket"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _cluster_density_sql(num_perm: int = 64, bands: int = 16,
+                         max_members: int = _MB_MAX_MEMBERS) -> str:
+    return f"""
+WITH RECURSIVE {_multirule_ctes(num_perm, bands, max_members)}
+, up AS (SELECT DISTINCT a, b FROM tagged)
+, nodes AS (SELECT DISTINCT v FROM
+            (SELECT a AS v FROM up UNION ALL SELECT b FROM up) q)
+, bidir AS (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM up UNION ALL SELECT b, a FROM up) q)
+, reach(node, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN bidir e ON e.a = r.node
+  WHERE r.lbl < e.b
+)
+, comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+, esz AS (
+  SELECT c.lbl, COUNT(*) AS e
+  FROM up u JOIN comp c ON c.node = u.a GROUP BY c.lbl)
+, csz AS (SELECT lbl, COUNT(*) AS size FROM comp GROUP BY lbl)
+, dens AS (
+  SELECT (COALESCE(e.e, 0) * 20) // (c.size * (c.size - 1)) AS bkt
+  FROM csz c LEFT JOIN esz e ON e.lbl = c.lbl
+  WHERE c.size >= 2)
+SELECT CAST(bkt AS BIGINT) AS density_bucket, COUNT(*) AS n_clusters
+FROM dens GROUP BY bkt ORDER BY bkt
+"""
+
+
+CLUSTER_DENSITY_SQL = _cluster_density_sql()
 
 
 # ---------------------------------------------------------------------------

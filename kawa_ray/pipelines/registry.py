@@ -245,6 +245,8 @@ EXTRA_QUERIES = {
     "cluster_ari_census": blocking_ops.cluster_ari_census,
     # pair completeness + reduction ratio vs exact-dup gold pairs
     "blocking_quality_census": blocking_ops.blocking_quality_census,
+    # Splink-style intra-cluster edge-density histogram
+    "cluster_density_census": blocking_ops.cluster_density_census,
     "phonetic_blocking_census": blocking_ops.phonetic_blocking_census,
     # round-5 window swap demotions (still oracle-checked here)
     "minhash_dedup_docs": docs.minhash_dedup_docs,
@@ -378,6 +380,7 @@ EXTRA_ORACLE_SQL = {
     "block_cleaning_census": blocking_ops.BLOCK_CLEANING_SQL,
     "cluster_ari_census": blocking_ops.CLUSTER_ARI_SQL,
     "blocking_quality_census": blocking_ops.BLOCKING_QUALITY_SQL,
+    "cluster_density_census": blocking_ops.CLUSTER_DENSITY_SQL,
     "phonetic_blocking_census": blocking_ops.PHONETIC_BLOCKING_SQL,
     "minhash_dedup_docs": docs.MINHASH_DEDUP_SQL,
     "doc_winnow_fingerprints": docs.DOC_WINNOW_SQL,

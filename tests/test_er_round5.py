@@ -609,6 +609,48 @@ def test_blocking_quality_exact_dups_fully_recalled(ray_session, tmp_path):
     assert got["pair_completeness"].iloc[0] == 1.0
 
 
+@pytest.mark.parametrize("n,seed", [(0, 111), (1, 112), (30, 113),
+                                    (40, 114)])
+def test_cluster_density_census_matches_duckdb(ray_session, tmp_path, n,
+                                               seed):
+    import duckdb
+
+    from kawa_ray.pipelines.blocking_ops import (
+        CLUSTER_DENSITY_SQL,
+        cluster_density_census,
+    )
+
+    sf = _word_docs(tmp_path, n, seed, vocab_size=5)
+    got = cluster_density_census(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, "
+                f"CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) "
+                f"AS lang, n_chars "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(CLUSTER_DENSITY_SQL).df() \
+        .astype({"density_bucket": "int64", "n_clusters": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cluster_density_complete_pair_is_bucket_20_over_2(ray_session,
+                                                           tmp_path):
+    # a 2-node cluster with its 1 edge is complete: bucket (1*20)//2=10
+    texts = ["aa bb cc dd ee ff gg hh", "aa bb cc dd ee ff gg hh"]
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2], dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 2,
+        "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    from kawa_ray.pipelines.blocking_ops import cluster_density_census
+
+    got = cluster_density_census(str(tmp_path))
+    assert got.to_dict("records") == [{"density_bucket": 10,
+                                      "n_clusters": 1}]
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch

@@ -242,7 +242,16 @@ def main() -> None:
         block_cleaning_census,
         cluster_survivorship_census,
     )
+    from kawa_ray.pipelines.blocking_ops import (
+        blocking_quality_census,
+        cluster_ari_census,
+    )
     from kawa_ray.pipelines.dsir import dsir_selection_census
+    from kawa_ray.pipelines.pairscore import (
+        containment_pairs_census,
+        monge_elkan_pairs_census,
+        mutual_best_match_census,
+    )
     from kawa_ray.pipelines.quality_classifier import quality_classifier_census
     from kawa_ray.pipelines.setsim import setsim_join_census
     from kawa_ray.pipelines.substring_dedup import doc_substring_dup_census
@@ -265,7 +274,19 @@ def main() -> None:
         ("setsim_join_census", setsim_join_census),
         ("cluster_survivorship_census", cluster_survivorship_census),
         ("block_cleaning_census", block_cleaning_census),
+        # round-5 session-3 wave
+        ("mutual_best_match_census", mutual_best_match_census),
+        ("monge_elkan_pairs_census", monge_elkan_pairs_census),
+        ("containment_pairs_census", containment_pairs_census),
+        ("cluster_ari_census", cluster_ari_census),
+        ("blocking_quality_census", blocking_quality_census),
     ]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    if only is not None:
+        queries = [(n, f) for n, f in queries if n in only]
     res: dict = {"copies": COPIES, "queries": {}}
     for name, fn in queries:
         t0 = time.perf_counter()
@@ -291,27 +312,43 @@ def main() -> None:
 
     # warm the pages caches OUTSIDE the timing window — a cold cache
     # would record minutes of corpus generation as query time
-    _ensure_pages("0.1")
-    _ensure_pages("1.6")
+    if only is None or {"line_dedup_census", "url_canonicalize_census",
+                        "paragraph_neardup_census"} & only:
+        _ensure_pages("0.1")
+        _ensure_pages("1.6")
 
-    t0 = time.perf_counter()
-    small = line_dedup_census(SRC)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    big = line_dedup_census("/root/testdata/sf1.6")
-    t_big = time.perf_counter() - t0
-    res["queries"]["line_dedup_census"] = {
-        "sf0.1_sec": round(t_small, 2),
-        "x16_sec": round(t_big, 2),
-        "time_ratio": round(t_big / max(t_small, 1e-9), 2),
-        "rows_small": int(len(small)),
-        "rows_big": int(len(big)),
-    }
-    print("line_dedup_census", res["queries"]["line_dedup_census"], flush=True)
+    from kawa_ray.pipelines.pages_ops import (
+        paragraph_neardup_census,
+        url_canonicalize_census,
+    )
 
-    res["winnow_shuffle_sf0.1"] = winnow_shuffle_stats(SRC)
-    res["winnow_shuffle_x16"] = winnow_shuffle_stats(DST)
-    res["emb_band_exchange"] = emb_band_exchange_bytes(SRC)
+    pages_queries = [
+        ("line_dedup_census", line_dedup_census),
+        ("url_canonicalize_census", url_canonicalize_census),
+        ("paragraph_neardup_census", paragraph_neardup_census),
+    ]
+    if only is not None:
+        pages_queries = [(n, f) for n, f in pages_queries if n in only]
+    for name, fn in pages_queries:
+        t0 = time.perf_counter()
+        small = fn(SRC)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big = fn("/root/testdata/sf1.6")
+        t_big = time.perf_counter() - t0
+        res["queries"][name] = {
+            "sf0.1_sec": round(t_small, 2),
+            "x16_sec": round(t_big, 2),
+            "time_ratio": round(t_big / max(t_small, 1e-9), 2),
+            "rows_small": int(len(small)),
+            "rows_big": int(len(big)),
+        }
+        print(name, res["queries"][name], flush=True)
+
+    if only is None:
+        res["winnow_shuffle_sf0.1"] = winnow_shuffle_stats(SRC)
+        res["winnow_shuffle_x16"] = winnow_shuffle_stats(DST)
+        res["emb_band_exchange"] = emb_band_exchange_bytes(SRC)
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
