@@ -882,6 +882,27 @@ SURVIVORSHIP_SQL = _survivorship_sql()
 # ---------------------------------------------------------------------------
 
 
+def _gold_hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact-duplicate gold partition: md5 hex of the full text — ONE
+    definition shared by the ARI and blocking-quality censuses so the
+    two can never desynchronize from the oracle's
+    ``md5(COALESCE(text, ''))`` convention."""
+    import hashlib
+
+    gl = [hashlib.md5(
+        (t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+        for t in df["text"]]
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                         "glbl": pd.Series(gl, dtype="str")})
+
+
+def _gold_pairs_fold(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition C(group, 2) sum over the gold hash groups."""
+    sz = g.groupby("glbl").size().to_numpy("int64")
+    return pd.DataFrame({"s": pd.Series([int((sz * (sz - 1) // 2).sum())],
+                                        dtype="int64")})
+
+
 def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
                        max_members: int = _MB_MAX_MEMBERS):
     """Adjusted Rand Index between the multi-rule entity clusters and
@@ -902,30 +923,16 @@ def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
     onto labels (the survivorship idiom), the lbl-hash contingency
     fold, and a glbl-hash fold of gold group sizes over the full
     corpus stream.  The driver holds four integers."""
-    import hashlib
-
     labels_ds = _multirule_closure_labels(sf_dir, num_perm, bands,
                                           max_members)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = int(docs.count())
 
-    def gold_rows(df: pd.DataFrame) -> pd.DataFrame:
-        gl = [hashlib.md5(
-            (t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
-            for t in df["text"]]
-        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                             "glbl": pd.Series(gl, dtype="str")})
-
-    gold = docs.map_batches(gold_rows, batch_format="pandas")
+    gold = docs.map_batches(_gold_hash_rows, batch_format="pandas")
 
     # same_gold: C(group,2) summed over exact-text groups, full corpus
-    def gold_part(g: pd.DataFrame) -> pd.DataFrame:
-        sz = g.groupby("glbl").size().to_numpy("int64")
-        return pd.DataFrame({"s": pd.Series([int((sz * (sz - 1) // 2).sum())],
-                                            dtype="int64")})
-
     same_gold = 0
-    for b in partition_reduce(gold, "glbl", gold_part) \
+    for b in partition_reduce(gold, "glbl", _gold_pairs_fold) \
             .iter_batches(batch_format="pandas"):
         same_gold += int(b["s"].sum())
 
@@ -1060,8 +1067,6 @@ def blocking_quality_census(sf_dir: str, num_perm: int = 64,
     the matched count attaches gold hashes to candidate endpoints via
     TWO doc_id-hash exchanges (a-side then b-side, edge-space rows
     throughout).  The driver holds four integers."""
-    import hashlib
-
     tagged = _multirule_tagged_pairs(sf_dir, num_perm, bands, max_members)
     edges = partition_reduce(
         tagged, "a", lambda g: g[["a", "b"]].drop_duplicates()).materialize()
@@ -1070,22 +1075,10 @@ def blocking_quality_census(sf_dir: str, num_perm: int = 64,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = int(docs.count())
 
-    def gold_rows(df: pd.DataFrame) -> pd.DataFrame:
-        gl = [hashlib.md5(
-            (t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
-            for t in df["text"]]
-        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                             "glbl": pd.Series(gl, dtype="str")})
-
-    gold = docs.map_batches(gold_rows, batch_format="pandas")
-
-    def gold_part(g: pd.DataFrame) -> pd.DataFrame:
-        sz = g.groupby("glbl").size().to_numpy("int64")
-        return pd.DataFrame({"s": pd.Series([int((sz * (sz - 1) // 2).sum())],
-                                            dtype="int64")})
+    gold = docs.map_batches(_gold_hash_rows, batch_format="pandas")
 
     n_gold_pairs = 0
-    for b in partition_reduce(gold, "glbl", gold_part) \
+    for b in partition_reduce(gold, "glbl", _gold_pairs_fold) \
             .iter_batches(batch_format="pandas"):
         n_gold_pairs += int(b["s"].sum())
 
@@ -1100,13 +1093,15 @@ def blocking_quality_census(sf_dir: str, num_perm: int = 64,
                                                    dtype="object")})
 
         def g_mark(df: pd.DataFrame) -> pd.DataFrame:
+            # glbl-is-None marks the edge side (the attach idiom the
+            # sibling censuses use — never an in-band doc_id sentinel)
             return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
-                                 "b": np.full(len(df), -1, dtype="int64"),
+                                 "b": np.zeros(len(df), dtype="int64"),
                                  "glbl": df["glbl"].to_numpy(dtype=object)})
 
         def attach_a(g: pd.DataFrame) -> pd.DataFrame:
-            labs = g.loc[g["b"] == -1, ["doc_id", "glbl"]]
-            ee = g.loc[g["b"] != -1, ["doc_id", "b"]]
+            labs = g.loc[g["glbl"].notna(), ["doc_id", "glbl"]]
+            ee = g.loc[g["glbl"].isna(), ["doc_id", "b"]]
             m = ee.merge(labs, on="doc_id", how="inner")
             return pd.DataFrame({"doc_id": m["b"].to_numpy("int64"),
                                  "ga": m["glbl"].to_numpy(dtype=object)})

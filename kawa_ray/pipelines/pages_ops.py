@@ -572,10 +572,19 @@ URL_FILTER_CENSUS_SQL = _url_filter_sql()
 # (no lookaround — DuckDB's regexp engine) and each is either anchored
 # (max one match, so pandas' replace-all == DuckDB's default
 # first-match) or explicitly global on BOTH sides (the utm rule).
+# rule 0 strips trailing ASCII whitespace (explicit class — RE2 \s is
+# ASCII-only while Python \s is unicode; and Python $ matches before a
+# trailing newline while RE2 $ is end-of-string, so every later
+# anchored rule is only byte-identical because rule 0 has removed any
+# trailing \n first).  Scheme+host lowercasing runs BEFORE the port
+# rules so 'HTTP://h:80/' normalizes its port too.
 _URL_CANON_RULES: list[tuple[str, str]] = [
+    (r"[ \t\n\r\f]+$", ""),                         # trailing whitespace
     (r"#.*$", ""),                                   # strip fragment
     (r"[?&]utm_[^&#]*", ""),                         # strip utm_* params (global)
     (r"^([^?&]*)&", r"\1?"),                         # re-anchor first param
+]
+_URL_PORT_RULES: list[tuple[str, str]] = [
     (r"^(http://[^/?#]*):80([/?#].*)?$", r"\1\2"),   # default http port
     (r"^(https://[^/?#]*):443([/?#].*)?$", r"\1\2"),  # default https port
 ]
@@ -587,13 +596,16 @@ def canonicalize_urls(s: pd.Series) -> pd.Series:
     """Vectorised URL canonicalization, byte-identical to the SQL
     chain in ``_url_canon_ctes`` (pandas replaces all occurrences; all
     rules but the utm one are anchored so that equals DuckDB's
-    first-match default, and the utm rule is 'g' in SQL)."""
+    first-match default, and the utm rule is 'g' in SQL).  NULL urls
+    canonicalize as '' on both sides (COALESCE in the oracle)."""
     u = s.fillna("")
     for pat, rep in _URL_CANON_RULES:
         u = u.str.replace(pat, rep, regex=True)
     m = u.str.extract(_URL_SCHEME_HOST_RE, expand=True)
     hit = m[0].notna()
     u = u.where(~hit, m[0].str.lower() + m[1])
+    for pat, rep in _URL_PORT_RULES:
+        u = u.str.replace(pat, rep, regex=True)
     return u.str.replace(*_URL_TRAILING_SLASH, regex=True)
 
 
@@ -617,9 +629,12 @@ def url_canonicalize_census(sf_dir: str) -> pd.DataFrame:
     from kawa_ray.stages.distinct import partition_reduce
 
     def canon_rows(t: pa.Table) -> pd.DataFrame:
-        urls = pd.Series(t.column("url").to_pylist(), dtype="str")
+        # NULL url/lang normalize to '' on both sides (COALESCE in the
+        # oracle) so no row is silently dropped by a pandas groupby
+        urls = pd.Series(t.column("url").to_pylist(), dtype="str").fillna("")
         return pd.DataFrame({
-            "lang": pd.Series(t.column("lang").to_pylist(), dtype="str"),
+            "lang": pd.Series(t.column("lang").to_pylist(),
+                              dtype="str").fillna(""),
             "url": urls,
             "canon": canonicalize_urls(urls),
         })
@@ -658,17 +673,14 @@ def _url_canon_ctes(src: str) -> str:
     producing url, lang) — shared by the EXTRA oracle and the
     adversarial tests."""
     return f"""
-c0 AS (SELECT lang, url, regexp_replace(url, '#.*$', '') AS u FROM {src}),
+cw AS (SELECT lang, url,
+              regexp_replace(COALESCE(url, ''), '[ \t\n\r\f]+$', '')
+              AS u FROM {src}),
+c0 AS (SELECT lang, url, regexp_replace(u, '#.*$', '') AS u FROM cw),
 c1 AS (SELECT lang, url,
               regexp_replace(u, '[?&]utm_[^&#]*', '', 'g') AS u FROM c0),
 c2 AS (SELECT lang, url,
               regexp_replace(u, '^([^?&]*)&', '\\1?') AS u FROM c1),
-c3 AS (SELECT lang, url,
-              regexp_replace(u, '^(http://[^/?#]*):80([/?#].*)?$',
-                             '\\1\\2') AS u FROM c2),
-c4 AS (SELECT lang, url,
-              regexp_replace(u, '^(https://[^/?#]*):443([/?#].*)?$',
-                             '\\1\\2') AS u FROM c3),
 c5 AS (SELECT lang, url,
               CASE WHEN regexp_extract(u,
                      '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$', 1) <> ''
@@ -676,13 +688,20 @@ c5 AS (SELECT lang, url,
                      '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$', 1))
                      || regexp_extract(u,
                      '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)(.*)$', 2)
-                   ELSE u END AS u FROM c4),
-c6 AS (SELECT lang, url, regexp_replace(u, '/+$', '') AS u FROM c5)"""
+                   ELSE u END AS u FROM c2),
+c3 AS (SELECT lang, url,
+              regexp_replace(u, '^(http://[^/?#]*):80([/?#].*)?$',
+                             '\\1\\2') AS u FROM c5),
+c4 AS (SELECT lang, url,
+              regexp_replace(u, '^(https://[^/?#]*):443([/?#].*)?$',
+                             '\\1\\2') AS u FROM c3),
+c6 AS (SELECT lang, url, regexp_replace(u, '/+$', '') AS u FROM c4)"""
 
 
 def url_canonicalize_sql(path: str) -> str:
     return f"""
-WITH pages AS (SELECT url, lang FROM read_parquet('{path}')),
+WITH pages AS (SELECT COALESCE(url, '') AS url, COALESCE(lang, '') AS lang
+               FROM read_parquet('{path}')),
 {_url_canon_ctes('pages')}
 SELECT lang, COUNT(*) AS n_pages,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
@@ -753,7 +772,16 @@ def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
     exist as a driver set); gram arrays attach to the surviving
     candidates via two pid-hash exchanges (candidate-space, recomputed
     rather than pinned — the pack_sequences convention); only three
-    integers reach the driver."""
+    integers reach the driver.
+
+    Contracts shared with the oracle: tokenization follows the
+    engine-wide convention (Python unicode \\s+ vs the oracle's RE2
+    ASCII \\s+ — the documented deviation of every text operator here;
+    they agree on all ASCII-whitespace corpora, which the fixtures
+    are), and the pages table is url-keyed (one fetch per url, the
+    crawl-table invariant) — repeated urls would merge paragraph
+    identities oracle-side (DISTINCT pid) while the op counts per
+    row."""
     import numpy as np
 
     from kawa_ray.functions.minhash import md5_low64_per_doc, word_ngrams
@@ -794,6 +822,7 @@ def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
     # linkage mention-stream convention — pin in the object store at
     # fixture scale, stream from per-partition /tmp parquet beyond it)
     n_pages = int(_read(sf_dir, ["url"]).count())
+    spill = None
     if n_pages <= _PN_SPILL_PAGES:
         grams = grams.materialize()
     else:
@@ -915,6 +944,13 @@ def paragraph_neardup_census(sf_dir: str, num_perm: int = _PN_PERM,
                 "doc_id", verify).iter_batches(batch_format="pandas"):
             n_neardup += int(b["n"].sum())
 
+    if spill is not None:
+        # every consumer has drained by here (the folds above are
+        # eager); drop the spilled gram stream instead of leaking
+        # multi-GB parquet to /tmp per run
+        import shutil
+
+        shutil.rmtree(spill, ignore_errors=True)
     return pd.DataFrame({
         "n_paragraphs": pd.Series([n_paragraphs], dtype="int64"),
         "n_candidates": pd.Series([n_candidates], dtype="int64"),

@@ -455,6 +455,14 @@ def test_url_canonicalize_kernel_matches_duckdb(tmp_path):
         "",
         "https://example.com/?utm_x#f",
         "http://h:80",
+        # review findings: trailing whitespace (Python $ vs RE2 $) and
+        # uppercase schemes reaching the port rules
+        "https://Example.com/a\n",
+        "https://x.com/a/\n",
+        "http://h:80\n",
+        "HTTP://example.com:80/",
+        "HTTPS://Ex.com:443/p",
+        "https://example.com/a  \t",
     ]
     rng = random.Random(7)
     for _ in range(300):
