@@ -659,6 +659,24 @@ def test_cluster_density_complete_pair_is_bucket_20_over_2(ray_session,
                                       "n_clusters": 1}]
 
 
+def test_paragraph_neardup_spill_path_identical(ray_session, monkeypatch):
+    # force the >200k-page spill tier at fixture scale: output must be
+    # identical to the pinned run, and the spill dir must be cleaned up
+    import glob
+    import tempfile
+
+    from kawa_ray.pipelines import pages_ops
+
+    sf = "/root/testdata/sf0.001"
+    before = set(glob.glob(tempfile.gettempdir() + "/para-grams-*"))
+    pinned = pages_ops.paragraph_neardup_census(sf)
+    monkeypatch.setattr(pages_ops, "_PN_SPILL_PAGES", 0)
+    spilled = pages_ops.paragraph_neardup_census(sf)
+    pd.testing.assert_frame_equal(pinned, spilled)
+    after = set(glob.glob(tempfile.gettempdir() + "/para-grams-*"))
+    assert after - before == set()
+
+
 def test_fs_decision_bands_are_consistent():
     # every pattern's decision follows its weight sum; the full-agree
     # pattern is a match, the full-disagree pattern a nonmatch
