@@ -1034,3 +1034,74 @@ FROM verified
 
 
 PARAGRAPH_NEARDUP_SQL = _para_neardup_sql()
+
+
+# ---------------------------------------------------------------------------
+# link-graph census (outlink extraction -> entity in-degree distribution)
+# ---------------------------------------------------------------------------
+
+_LINK_RE = r'href="/e/([0-9]+)"'
+
+
+def link_graph_census(sf_dir: str) -> pd.DataFrame:
+    """Web-graph construction census — the crawl-side link-extraction
+    pass (the step behind CommonCrawl's host/domain web graphs and
+    harmonic-centrality rankings): pull every entity anchor out of the
+    raw HTML and produce the in-degree distribution of link targets
+    across the crawl.  Output: (in_degree, n_entities) — how many
+    entity pages are referenced by exactly d anchors corpus-wide.
+
+    Scale shape: html is decoded and scanned per batch with ONE
+    vectorised ``str.extractall`` (html never crosses an exchange —
+    the linkage pipeline's project-early rule), per-batch (eid, count)
+    partials pre-aggregate before the single eid-hash exchange, the
+    per-entity degree and the histogram fold inside the partition, and
+    only (in_degree, count) partials reach the driver."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        html = pd.Series(
+            [b.decode("utf-8") if b is not None else ""
+             for b in t.column("html").to_pylist()], dtype="str")
+        hits = html.str.extractall(_LINK_RE)
+        if hits.empty:
+            return pd.DataFrame({"eid": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        per = hits[0].astype("int64").value_counts()
+        return pd.DataFrame({"eid": per.index.to_numpy("int64"),
+                             "n": per.to_numpy("int64")})
+
+    def degree_part(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("eid")["n"].sum()
+        hist = deg.value_counts()
+        return pd.DataFrame({"in_degree": hist.index.to_numpy("int64"),
+                             "n_entities": hist.to_numpy("int64")})
+
+    acc: dict[int, int] = {}
+    for b in partition_reduce(
+            _read(sf_dir, ["html"]).map_batches(partial,
+                                                batch_format="pyarrow"),
+            "eid", degree_part).iter_batches(batch_format="pandas"):
+        for dv, nv in zip(b["in_degree"], b["n_entities"]):
+            acc[int(dv)] = acc.get(int(dv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()),
+                       columns=["in_degree", "n_entities"])
+    out["in_degree"] = out["in_degree"].astype("int64")
+    out["n_entities"] = out["n_entities"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _link_graph_sql() -> str:
+    return f"""
+WITH links AS (
+  SELECT UNNEST(regexp_extract_all(decode(html), '{_LINK_RE.replace("'", "''")}', 1))
+         AS eid
+  FROM read_parquet('{_pages_path_sql()}')),
+deg AS (SELECT CAST(eid AS BIGINT) AS eid, COUNT(*) AS d
+        FROM links GROUP BY 1)
+SELECT CAST(d AS BIGINT) AS in_degree, COUNT(*) AS n_entities
+FROM deg GROUP BY d ORDER BY d
+"""
+
+
+LINK_GRAPH_SQL = _link_graph_sql()

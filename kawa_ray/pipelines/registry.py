@@ -272,6 +272,8 @@ EXTRA_QUERIES = {
     "url_canonicalize_census": pages_ops.url_canonicalize_census,
     # fuzzy paragraph dedup: MinHash-LSH at paragraph granularity
     "paragraph_neardup_census": pages_ops.paragraph_neardup_census,
+    # web-graph link extraction -> entity in-degree distribution
+    "link_graph_census": pages_ops.link_graph_census,
     # CCNet cross-document line (paragraph) dedup — boilerplate removal
     # (stays EXTRA: the pages-table oracles are built against the
     # sf0.001 corpus, the pytest tier's fixed scale; the driver
@@ -344,6 +346,7 @@ EXTRA_ORACLE_SQL = {
     "url_filter_census": pages_ops.URL_FILTER_CENSUS_SQL,
     "url_canonicalize_census": pages_ops.URL_CANONICALIZE_SQL,
     "paragraph_neardup_census": pages_ops.PARAGRAPH_NEARDUP_SQL,
+    "link_graph_census": pages_ops.LINK_GRAPH_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
     "pii_scrub_census": pages_ops.PII_SCRUB_CENSUS_SQL,
     "cc_prefilter_census": pages_ops.CC_PREFILTER_CENSUS_SQL,
