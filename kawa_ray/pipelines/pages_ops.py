@@ -1105,3 +1105,89 @@ FROM deg GROUP BY d ORDER BY d
 
 
 LINK_GRAPH_SQL = _link_graph_sql()
+
+
+# ---------------------------------------------------------------------------
+# anchor-alias census (alias-dictionary mining from entity anchors)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = r'<a href="/e/([0-9]+)">([^<]*)</a>'
+
+
+def anchor_alias_census(sf_dir: str) -> pd.DataFrame:
+    """Alias-dictionary mining — the Wikipedia-anchor-dictionary step
+    of entity-linking pipelines (Spitkovsky & Chang 2012): harvest
+    every (entity, anchor-text) pair from the crawl's HTML, normalize
+    the surface (lower + strip), and report how many DISTINCT aliases
+    each entity has as a histogram (n_aliases, n_entities).  This is
+    exactly how a web-scale build would grow the reference's word2ner
+    alias table (kawa builds its lexicon from alias->entity rows;
+    reference: ontology_builder.py's word2ner ingestion).
+
+    Scale shape: one vectorised two-group ``extractall`` per batch
+    (html never crosses an exchange), per-batch (eid, alias) pairs
+    dedup in-batch, ONE eid-hash exchange co-locates each entity's
+    pairs, distinct-alias counts and the histogram fold inside the
+    partition, and only (n_aliases, count) partials reach the
+    driver."""
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        html = pd.Series(
+            [b.decode("utf-8") if b is not None else ""
+             for b in t.column("html").to_pylist()], dtype="str")
+        hits = html.str.extractall(_ANCHOR_RE)
+        if hits.empty:
+            return pd.DataFrame({"eid": pd.Series([], dtype="int64"),
+                                 "alias": pd.Series([], dtype="str")})
+        alias = hits[1].str.lower().str.strip(" \t\n\r")
+        out = pd.DataFrame({"eid": hits[0].astype("int64").to_numpy(),
+                            "alias": alias.to_numpy(dtype=object)})
+        out = out[out["alias"] != ""].drop_duplicates()
+        return pd.DataFrame({"eid": out["eid"].to_numpy("int64"),
+                             "alias": pd.Series(
+                                 out["alias"].to_numpy(dtype=object),
+                                 dtype="str")})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        na = g.drop_duplicates(["eid", "alias"]).groupby("eid").size()
+        hist = na.value_counts()
+        return pd.DataFrame({"n_aliases": hist.index.to_numpy("int64"),
+                             "n_entities": hist.to_numpy("int64")})
+
+    acc: dict[int, int] = {}
+    for b in partition_reduce(
+            _read(sf_dir, ["html"]).map_batches(partial,
+                                                batch_format="pyarrow"),
+            "eid", fold).iter_batches(batch_format="pandas"):
+        for av, nv in zip(b["n_aliases"], b["n_entities"]):
+            acc[int(av)] = acc.get(int(av), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()),
+                       columns=["n_aliases", "n_entities"])
+    out["n_aliases"] = out["n_aliases"].astype("int64")
+    out["n_entities"] = out["n_entities"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _anchor_alias_sql() -> str:
+    pat = _ANCHOR_RE.replace("'", "''")
+    return f"""
+WITH raw AS (SELECT decode(html) AS h
+             FROM read_parquet('{_pages_path_sql()}')),
+pairs AS (
+  SELECT UNNEST(regexp_extract_all(h, '{pat}', 1)) AS eid,
+         UNNEST(regexp_extract_all(h, '{pat}', 2)) AS alias
+  FROM raw),
+norm AS (
+  SELECT CAST(eid AS BIGINT) AS eid,
+         LOWER(TRIM(alias, ' \t\n\r')) AS alias
+  FROM pairs
+  WHERE LOWER(TRIM(alias, ' \t\n\r')) <> ''),
+d AS (SELECT DISTINCT eid, alias FROM norm),
+na AS (SELECT eid, COUNT(*) AS n FROM d GROUP BY eid)
+SELECT CAST(n AS BIGINT) AS n_aliases, COUNT(*) AS n_entities
+FROM na GROUP BY n ORDER BY n
+"""
+
+
+ANCHOR_ALIAS_SQL = _anchor_alias_sql()
