@@ -23,6 +23,6 @@ def _probe(ncpu: int, out) -> dict:
 def test_outputs_identical_at_2_and_16_cpus(tmp_path):
     lo = _probe(2, tmp_path / "lo.json")
     hi = _probe(16, tmp_path / "hi.json")
-    assert set(lo) == set(hi) and len(lo) == 10
+    assert set(lo) == set(hi) and len(lo) == 12
     diffs = {k for k in lo if lo[k] != hi[k]}
     assert not diffs, f"parallelism-dependent outputs: {sorted(diffs)}"

@@ -38,7 +38,11 @@ def main() -> None:
         simhash_dedup_docs,
     )
     from kawa_ray.pipelines.linkage import link_pages
-    from kawa_ray.pipelines.pages_ops import line_dedup_census
+    from kawa_ray.pipelines.pages_ops import (
+        line_dedup_census,
+        paragraph_neardup_census,
+    )
+    from kawa_ray.pipelines.pairscore import mutual_best_match_census
     from kawa_ray.pipelines.quality_classifier import quality_classifier_census
     from kawa_ray.sources.pages import ensure_pages
 
@@ -57,6 +61,10 @@ def main() -> None:
         # pair streams must not depend on partition count either
         ("snm_blocking_census", snm_blocking_census),
         ("multirule_blocking_census", multirule_blocking_census),
+        # session-3 round-5 ops: block-local argmax and banded
+        # paragraph candidates must not depend on partition count
+        ("mutual_best_match_census", mutual_best_match_census),
+        ("paragraph_neardup_census", paragraph_neardup_census),
     ]:
         df = fn(sf)
         df = df.sort_values(list(df.columns)).reset_index(drop=True)
