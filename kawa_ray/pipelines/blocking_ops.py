@@ -903,6 +903,26 @@ def _gold_pairs_fold(g: pd.DataFrame) -> pd.DataFrame:
                                         dtype="int64")})
 
 
+_GOLD_PIN_DOCS = 2_000_000
+
+
+def _pin_gold(gold, n_docs: int):
+    """Pin-or-spill the (doc_id, glbl) gold stream for multi-consumer
+    censuses (it is otherwise a lazy dataset whose text-read + md5 pass
+    re-runs per consumer): object-store pin below 2M docs, /tmp parquet
+    beyond (the paragraph-census spill convention).  Returns
+    (gold, cleanup) — call cleanup() after the last fold."""
+    if n_docs <= _GOLD_PIN_DOCS:
+        return gold.materialize(), lambda: None
+    import shutil
+    import tempfile
+
+    spill = tempfile.mkdtemp(prefix="gold-hash-", dir=tempfile.gettempdir())
+    gold.write_parquet(spill)
+    return rd.read_parquet(spill), \
+        lambda: shutil.rmtree(spill, ignore_errors=True)
+
+
 def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
                        max_members: int = _MB_MAX_MEMBERS):
     """Adjusted Rand Index between the multi-rule entity clusters and
@@ -928,7 +948,8 @@ def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = int(docs.count())
 
-    gold = docs.map_batches(_gold_hash_rows, batch_format="pandas")
+    gold, gold_cleanup = _pin_gold(
+        docs.map_batches(_gold_hash_rows, batch_format="pandas"), n_docs)
 
     # same_gold: C(group,2) summed over exact-text groups, full corpus
     same_gold = 0
@@ -977,6 +998,7 @@ def cluster_ari_census(sf_dir: str, num_perm: int = 64, bands: int = 16,
             same_both += int(b["sb"].sum())
             same_pred += int(b["sp"].sum())
 
+    gold_cleanup()
     if n_docs < 2:
         ari = 1.0
     else:
@@ -1075,7 +1097,8 @@ def blocking_quality_census(sf_dir: str, num_perm: int = 64,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = int(docs.count())
 
-    gold = docs.map_batches(_gold_hash_rows, batch_format="pandas")
+    gold, gold_cleanup = _pin_gold(
+        docs.map_batches(_gold_hash_rows, batch_format="pandas"), n_docs)
 
     n_gold_pairs = 0
     for b in partition_reduce(gold, "glbl", _gold_pairs_fold) \
@@ -1136,6 +1159,7 @@ def blocking_quality_census(sf_dir: str, num_perm: int = 64,
                 "doc_id", attach_b).iter_batches(batch_format="pandas"):
             n_matched += int(b["n"].sum())
 
+    gold_cleanup()
     pc = 1.0 if n_gold_pairs == 0 else n_matched / n_gold_pairs
     rr = 1.0 if n_docs < 2 else \
         1.0 - n_candidates / (n_docs * (n_docs - 1) // 2)
