@@ -276,6 +276,8 @@ EXTRA_QUERIES = {
     "link_graph_census": pages_ops.link_graph_census,
     # alias-dictionary mining from entity anchors (anchor dictionary)
     "anchor_alias_census": pages_ops.anchor_alias_census,
+    # margin-based bitext mining (Artetxe-Schwenk ratio margin)
+    "margin_bitext_census": vectors.margin_bitext_census,
     # CCNet cross-document line (paragraph) dedup — boilerplate removal
     # (stays EXTRA: the pages-table oracles are built against the
     # sf0.001 corpus, the pytest tier's fixed scale; the driver
@@ -350,6 +352,7 @@ EXTRA_ORACLE_SQL = {
     "paragraph_neardup_census": pages_ops.PARAGRAPH_NEARDUP_SQL,
     "link_graph_census": pages_ops.LINK_GRAPH_SQL,
     "anchor_alias_census": pages_ops.ANCHOR_ALIAS_SQL,
+    "margin_bitext_census": vectors.MARGIN_BITEXT_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
     "pii_scrub_census": pages_ops.PII_SCRUB_CENSUS_SQL,
     "cc_prefilter_census": pages_ops.CC_PREFILTER_CENSUS_SQL,

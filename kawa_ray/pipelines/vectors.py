@@ -1018,3 +1018,184 @@ GROUP BY e.label ORDER BY label
 
 
 SEMDEDUP_SQL = _semdedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining census (Artetxe & Schwenk 2019 / CCMatrix)
+# ---------------------------------------------------------------------------
+
+_BM_K = 4            # kNN depth of the margin denominator
+_BM_SCALE = 10_000   # cosine in 1e-4 units, shifted by +1 (see below)
+
+
+def margin_bitext_census(sf_dir: str, k: int = _BM_K) -> pd.DataFrame:
+    """Margin-based parallel-pair mining — the scoring rule behind
+    CCMatrix/LASER bitext mining (Artetxe & Schwenk 2019): a source
+    vector's best target is accepted by the RATIO of its cosine to
+    the mean of both sides' k-NN cosines (absolute cosine thresholds
+    fail under hubness; the margin normalizes per-point density).
+    The deterministic source/target split is ``vec_id % 2`` (the
+    cross-dump slice convention).  Exactness: cosines are rounded to
+    1e-4 (the ann_topk precedent) then SHIFTED to non-negative integer
+    units ``round(cos * 1e4) + 1e4``, so every k-NN sum is an exact
+    integer and the margin bucket is the pure-integer
+    ``(c_best * 2 * k_src * k_tgt * 10) // (s_src * k_tgt + s_tgt *
+    k_src)`` — a margin of exactly 1.0 lands in bucket 10.  (The +1
+    shift keeps the ratio positive-definite; the CCMatrix ordering is
+    preserved in the high-similarity region mining cares about, and
+    the shifted spec is mirrored exactly in the oracle.)  Output:
+    (margin_bucket, n_pairs) histogram over every source's best pair.
+
+    Scale shape: the target side broadcasts once via ``ray.put`` (the
+    ann brute-force convention — the smaller side at real scale, or an
+    IVF shard set); TWO streaming passes over the source side: pass 1
+    folds per-TARGET k-NN top-k sums on the driver (target-space,
+    broadcast-bounded), pass 2 recomputes each source's best target
+    and k-NN sum in-stream, looks up the broadcast target sums, and
+    emits only (bucket, count) partials.  No source-space driver
+    state."""
+    import ray
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def _parity(t: pa.Table, rem: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("vec_id")
+        return t.filter(pc.equal(
+            pc.bit_wise_and(ids, 1), rem))
+
+    tgt_rows = emb.map_batches(
+        lambda t: _parity(t, 1), batch_format="pyarrow").take_all()
+    if not tgt_rows:
+        return pd.DataFrame({"margin_bucket": pd.Series([], dtype="int64"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    tgt_ids = np.asarray([r["vec_id"] for r in tgt_rows], dtype=np.int64)
+    T = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in tgt_rows])
+    Tn = T / np.clip(np.linalg.norm(T, axis=1, keepdims=True), 1e-12, None)
+    order = np.argsort(tgt_ids)
+    tgt_ids, Tn = tgt_ids[order], Tn[order]
+    t_ref = ray.put((tgt_ids, Tn))
+
+    src = emb.map_batches(lambda t: _parity(t, 0), batch_format="pyarrow")
+
+    def _c_int(sims: np.ndarray) -> np.ndarray:
+        return (np.round(sims * _BM_SCALE) + _BM_SCALE).astype(np.int64)
+
+    def tgt_knn_partial(t: pa.Table, _ref=t_ref) -> pa.Table:
+        tgt_ids, Tn = ray.get(_ref)
+        sids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                         1e-12, None)
+        C = _c_int(Mn @ Tn.T)           # (n_src_batch, n_tgt)
+        out_t, out_c, out_s = [], [], []
+        kk = min(k, C.shape[0])
+        for tj in range(C.shape[1]):
+            col = C[:, tj]
+            # top-k by (c DESC, src_id ASC) — the oracle's ROW_NUMBER
+            o = np.lexsort((sids, -col))[:kk]
+            for i in o:
+                out_t.append(int(tgt_ids[tj]))
+                out_c.append(int(col[i]))
+                out_s.append(int(sids[i]))
+        return pa.table({"tgt": pa.array(out_t, pa.int64()),
+                         "c": pa.array(out_c, pa.int64()),
+                         "src": pa.array(out_s, pa.int64())})
+
+    # pass 1: per-target k-NN (over ALL sources) folded on the driver —
+    # target-space, the broadcast-bounded side
+    best_per_tgt: dict[int, list[tuple[int, int]]] = {}
+    for b in src.map_batches(tgt_knn_partial, batch_format="pyarrow",
+                             batch_size=2048) \
+            .iter_batches(batch_format="pandas"):
+        for tj, c, si in zip(b["tgt"], b["c"], b["src"]):
+            cur = best_per_tgt.setdefault(int(tj), [])
+            cur.append((int(c), int(si)))
+    s_tgt: dict[int, tuple[int, int]] = {}
+    for tj, rows in best_per_tgt.items():
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        top = rows[:k]
+        s_tgt[tj] = (sum(c for c, _ in top), len(top))
+    st_ref = ray.put(s_tgt)
+
+    def bucket_partial(t: pa.Table, _ref=t_ref, _sref=st_ref) -> pa.Table:
+        tgt_ids, Tn = ray.get(_ref)
+        s_tgt = ray.get(_sref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()]) \
+            if t.num_rows else np.zeros((0, Tn.shape[1]))
+        if M.shape[0] == 0:
+            return pa.table({"margin_bucket": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                         1e-12, None)
+        C = _c_int(Mn @ Tn.T)
+        kk = min(k, C.shape[1])
+        out: dict[int, int] = {}
+        for i in range(C.shape[0]):
+            row = C[i]
+            o = np.lexsort((tgt_ids, -row))
+            bj = o[0]                   # best target (c DESC, id ASC)
+            s_src = int(row[o[:kk]].sum())
+            ssum, scnt = s_tgt[int(tgt_ids[bj])]
+            den = s_src * scnt + ssum * kk
+            bkt = (int(row[bj]) * 2 * kk * scnt * 10) // den
+            out[bkt] = out.get(bkt, 0) + 1
+        items = sorted(out.items())
+        return pa.table({"margin_bucket": pa.array([b for b, _ in items],
+                                                   pa.int64()),
+                         "n_pairs": pa.array([n for _, n in items],
+                                             pa.int64())})
+
+    acc: dict[int, int] = {}
+    for b in src.map_batches(bucket_partial, batch_format="pyarrow",
+                             batch_size=2048) \
+            .iter_batches(batch_format="pandas"):
+        for bv, nv in zip(b["margin_bucket"], b["n_pairs"]):
+            acc[int(bv)] = acc.get(int(bv), 0) + int(nv)
+    out = pd.DataFrame(sorted(acc.items()),
+                       columns=["margin_bucket", "n_pairs"])
+    out["margin_bucket"] = out["margin_bucket"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _margin_bitext_sql(k: int = _BM_K) -> str:
+    return f"""
+WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+sims AS (
+  SELECT s.vec_id AS src, t.vec_id AS tgt,
+         CAST(ROUND(LIST_COSINE_SIMILARITY(s.embedding, t.embedding)
+              * {_BM_SCALE}) AS BIGINT) + {_BM_SCALE} AS c
+  FROM src s CROSS JOIN tgt t),
+src_rn AS (
+  SELECT src, tgt, c,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, tgt) AS rn
+  FROM sims),
+s_src AS (
+  SELECT src, SUM(c) AS s, COUNT(*) AS kk
+  FROM src_rn WHERE rn <= {k} GROUP BY src),
+tgt_rn AS (
+  SELECT src, tgt, c,
+         ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY c DESC, src) AS rn
+  FROM sims),
+s_tgt AS (
+  SELECT tgt, SUM(c) AS s, COUNT(*) AS cnt
+  FROM tgt_rn WHERE rn <= {k} GROUP BY tgt),
+best AS (SELECT src, tgt, c FROM src_rn WHERE rn = 1),
+buckets AS (
+  SELECT (b.c * 2 * a.kk * g.cnt * 10)
+         // (a.s * g.cnt + g.s * a.kk) AS bkt
+  FROM best b
+  JOIN s_src a ON a.src = b.src
+  JOIN s_tgt g ON g.tgt = b.tgt)
+SELECT CAST(bkt AS BIGINT) AS margin_bucket, COUNT(*) AS n_pairs
+FROM buckets GROUP BY bkt ORDER BY bkt
+"""
+
+
+MARGIN_BITEXT_SQL = _margin_bitext_sql()
