@@ -13,6 +13,7 @@ build-at-import pattern).
 from __future__ import annotations
 
 import os
+import re as _re
 
 import pandas as pd
 import pyarrow as pa
@@ -1191,3 +1192,111 @@ FROM na GROUP BY n ORDER BY n
 
 
 ANCHOR_ALIAS_SQL = _anchor_alias_sql()
+
+
+# ---------------------------------------------------------------------------
+# domain-scoped line dedup census (global vs domain-local boilerplate)
+# ---------------------------------------------------------------------------
+
+
+def domain_line_dedup_census(sf_dir: str) -> pd.DataFrame:
+    """Domain-scoped line dedup — the production-realistic variant of
+    CCNet line dedup: boilerplate (headers/menus/footers) repeats
+    WITHIN a site, so deduplicating lines per DOMAIN removes it while
+    sparing legitimate cross-site repetition (quotes, licenses, wire
+    copy) that corpus-global dedup over-removes.  Both policies are
+    measured in ONE pass: per lang, total lines, lines a GLOBAL
+    keep-first pass would remove, and lines the DOMAIN-scoped pass
+    would remove — the gap is exactly the cross-site mass at stake.
+
+    Shape: the line-hash exchange of ``line_dedup_census`` with the
+    domain hash riding along — a line's global group and all of its
+    per-domain subgroups co-locate under the same hash key, so both
+    ranks are computed in the same partition and only lang-cardinality
+    partials leave.  Removal COUNTS are rank-order-invariant per
+    group; per-lang attribution ties can only happen between rows of
+    the same lang (the rank order ends with lang), so the census is
+    deterministic and mirrored by the oracle's ROW_NUMBER exactly."""
+    import numpy as np
+
+    from kawa_ray.functions.minhash import md5_low64_many
+    from kawa_ray.stages.distinct import partition_reduce
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lines = pc.split_pattern(t.column("text"), "\n")
+        n = pc.list_value_length(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        urls = t.column("url").to_pylist()
+        doms = [(_re.match(_DOMAIN_RE, u or "") or [None, ""])[1]
+                for u in urls]
+        df = pd.DataFrame({
+            "lang": np.repeat(
+                np.asarray(t.column("lang").to_pylist(), dtype=object), n),
+            "dh": np.repeat(md5_low64_many(doms), n),
+            "uh": np.repeat(md5_low64_many(urls), n),
+            "h": md5_low64_many(flat.to_pylist()),
+            "keep": pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
+        })
+        return df.loc[df["keep"], ["lang", "dh", "uh", "h"]]
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "dh", "uh", "lang"], kind="stable")
+        rg = g.groupby("h", sort=False).cumcount() > 0
+        rdm = g.groupby(["h", "dh"], sort=False).cumcount() > 0
+        return (pd.DataFrame({
+            "lang": g["lang"],
+            "rg": rg.astype("int64"),
+            "rd": rdm.astype("int64"),
+        }).groupby("lang", as_index=False)
+          .agg(n_lines=("rg", "size"),
+               n_removed_global=("rg", "sum"),
+               n_removed_domain=("rd", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        partition_reduce(
+            _read(sf_dir, ["url", "text", "lang"])
+            .map_batches(explode, batch_format="pyarrow"),
+            "h", census_part)
+        .groupby("lang")
+        .aggregate(Sum("n_lines", alias_name="n_lines"),
+                   Sum("n_removed_global", alias_name="n_removed_global"),
+                   Sum("n_removed_domain", alias_name="n_removed_domain"))
+        .to_pandas()
+    )
+    for c in ("n_lines", "n_removed_global", "n_removed_domain"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+
+def _domain_line_dedup_sql() -> str:
+    return f"""
+WITH l AS (
+  SELECT lang, url, UNNEST(string_split(text, chr(10))) AS line
+  FROM read_parquet('{_pages_path_sql()}')
+), nz AS (
+  SELECT lang,
+         md5_number_lower(COALESCE(regexp_extract(url, '{_DOMAIN_RE}', 1),
+                                   '')) AS dh,
+         md5_number_lower(url) AS uh,
+         md5_number_lower(line) AS h
+  FROM l WHERE line <> ''
+), r AS (
+  SELECT lang,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY dh, uh, lang) AS rg,
+         ROW_NUMBER() OVER (PARTITION BY h, dh ORDER BY uh, lang) AS rd
+  FROM nz)
+SELECT lang, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN rg > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_global,
+       CAST(SUM(CASE WHEN rd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_domain
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+DOMAIN_LINE_DEDUP_SQL = _domain_line_dedup_sql()

@@ -278,6 +278,8 @@ EXTRA_QUERIES = {
     "anchor_alias_census": pages_ops.anchor_alias_census,
     # margin-based bitext mining (Artetxe-Schwenk ratio margin)
     "margin_bitext_census": vectors.margin_bitext_census,
+    # domain-scoped vs global line dedup (the over-removal diagnostic)
+    "domain_line_dedup_census": pages_ops.domain_line_dedup_census,
     # CCNet cross-document line (paragraph) dedup — boilerplate removal
     # (stays EXTRA: the pages-table oracles are built against the
     # sf0.001 corpus, the pytest tier's fixed scale; the driver
@@ -353,6 +355,7 @@ EXTRA_ORACLE_SQL = {
     "link_graph_census": pages_ops.LINK_GRAPH_SQL,
     "anchor_alias_census": pages_ops.ANCHOR_ALIAS_SQL,
     "margin_bitext_census": vectors.MARGIN_BITEXT_SQL,
+    "domain_line_dedup_census": pages_ops.DOMAIN_LINE_DEDUP_SQL,
     "line_dedup_census": pages_ops.LINE_DEDUP_CENSUS_SQL,
     "pii_scrub_census": pages_ops.PII_SCRUB_CENSUS_SQL,
     "cc_prefilter_census": pages_ops.CC_PREFILTER_CENSUS_SQL,
